@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for TPS grid prediction (knots-by-cells matvec).
+
+Replaces the reference's ``terra::interpolate(raster, Tps-model)`` full-grid
+prediction (V73:726/753) with a fused kernel: cell coordinates are generated
+on the fly from the grid's affine transform (never materialised in HBM),
+squared distances come from one MXU matmul, phi(r) = 0.5 r^2 log r^2 runs on
+the VPU, and the phi @ c contraction is a second MXU matmul.  HBM traffic is
+exactly the output surface plus the (tiny) knot/coefficient tables.
+
+Block shape is (8, 128) cells x a knot chunk of 512, sized so phi chunks stay
+well under VMEM.  Responses are batched in the trailing matmul dimension, so
+multi-response models (shared knots) cost one pass.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import GridSpec
+
+__all__ = ["tps_grid_pallas"]
+
+_BLOCK_R = 8
+_BLOCK_C = 128
+_KNOT_CHUNK = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks):
+    """One (8, 128)-cell block: phi-matvec against all knot chunks.
+
+    bmat: (3, n_pad)  rows [-2*kx, -2*ky, |k|^2] in scaled coords
+    c:    (n_pad, R)  radial coefficients (0 at padding)
+    d:    (8, R)      polynomial coefficients [1, x, y] padded to sublane 8
+    out:  (R, 8, 128) surface block
+    """
+    xmin, dx, ymax, dy, sx0, sx1, sy0, sy1 = geom
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (_BLOCK_R, _BLOCK_C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (_BLOCK_R, _BLOCK_C), 1)
+    gx = xmin + (j * _BLOCK_C + cols + 0.5) * dx
+    gy = ymax - (i * _BLOCK_R + rows + 0.5) * dy
+    px = ((gx - sx0) / sx1).reshape(_BLOCK_R * _BLOCK_C, 1)
+    py = ((gy - sy0) / sy1).reshape(_BLOCK_R * _BLOCK_C, 1)
+    ones = jnp.ones_like(px)
+    a = jnp.concatenate([px, py, ones], axis=1)          # (1024, 3)
+    p2 = px * px + py * py                               # (1024, 1)
+
+    n_resp = out_ref.shape[0]
+    acc = jnp.zeros((_BLOCK_R * _BLOCK_C, n_resp), jnp.float32)
+
+    def chunk_body(k, acc):
+        b = bmat_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]        # (3, 512)
+        r2 = jnp.dot(a, b, preferred_element_type=jnp.float32) + p2  # (1024, 512)
+        r2 = jnp.maximum(r2, 0.0)
+        safe = jnp.maximum(r2, jnp.finfo(jnp.float32).tiny)
+        phi = jnp.where(r2 > 0, 0.5 * r2 * jnp.log(safe), 0.0)
+        cc = c_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]           # (512, R)
+        return acc + jnp.dot(phi, cc, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+    acc = acc + jnp.dot(a, d_ref[:3, :], preferred_element_type=jnp.float32)
+    out_ref[:] = acc.T.reshape(n_resp, _BLOCK_R, _BLOCK_C)
+
+
+def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
+    """Evaluate a TPSModel at every cell of ``grid`` on TPU.
+
+    Returns (H, W) for a single-response model, (H, W, R) for multi-response.
+    ``block_rows`` is accepted for API parity with the jnp path; the kernel
+    tiles internally at (8, 128).
+    """
+    del block_rows
+    c = model.c
+    single = c.ndim == 1
+    ccols = (c[:, None] if single else c).astype(jnp.float32)
+    dcols = (model.d[:, None] if single else model.d).astype(jnp.float32)
+    n, n_resp = ccols.shape
+
+    n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
+    knots = model.knots.astype(jnp.float32)
+    kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
+    ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
+    bmat = jnp.stack([-2.0 * kx, -2.0 * ky, kx * kx + ky * ky])      # (3, n_pad)
+    ccols = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))                 # zero coef => no effect
+    # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1]
+    dcols = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
+    dpad = jnp.pad(dcols, ((0, 8 - 3), (0, 0)))
+
+    h_pad = _round_up(grid.nrows, _BLOCK_R)
+    w_pad = _round_up(grid.ncols, _BLOCK_C)
+    geom = (
+        float(grid.xmin), float(grid.dx), float(grid.ymax), float(grid.dy),
+        float(model.shift[0]), float(model.scale[0]),
+        float(model.shift[1]), float(model.scale[1]),
+    )
+    kernel = functools.partial(_kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK)
+    out = pl.pallas_call(
+        kernel,
+        grid=(h_pad // _BLOCK_R, w_pad // _BLOCK_C),
+        in_specs=[
+            pl.BlockSpec((3, n_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, n_resp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_resp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_resp, _BLOCK_R, _BLOCK_C), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_resp, h_pad, w_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h_pad * w_pad * n_pad * (3 + n_resp),
+            bytes_accessed=4 * h_pad * w_pad * n_resp,
+            transcendentals=h_pad * w_pad * n_pad,
+        ),
+    )(bmat, ccols, dpad)
+    out = out[:, : grid.nrows, : grid.ncols]
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out[0] if single else jnp.moveaxis(out, 0, -1)

@@ -1,0 +1,61 @@
+"""Test config: force the CPU backend with 8 virtual devices so the suite runs
+fast and multi-chip sharding tests work without TPU hardware (SURVEY.md §4).
+
+The container's sitecustomize registers the axon TPU backend at interpreter
+startup (before any conftest can run) whenever PALLAS_AXON_POOL_IPS is set,
+and every jit then goes through a slow remote-compile tunnel.  To get a clean
+CPU backend we re-exec the whole pytest invocation once with that hook
+disabled, suspending pytest's fd capture so the child's output streams
+through.
+"""
+import os
+import sys
+
+_NEED_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and not os.environ.get(
+    "MACHISPLIN_TEST_REEXEC"
+)
+
+if not _NEED_REEXEC:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+import contextlib
+
+import numpy as np
+import pytest
+
+
+def pytest_configure(config):
+    if not _NEED_REEXEC:
+        return
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    env["MACHISPLIN_TEST_REEXEC"] = "1"
+    capman = config.pluginmanager.getplugin("capturemanager")
+    ctx = capman.global_and_fixture_disabled() if capman else contextlib.nullcontext()
+    with ctx:
+        code = subprocess.call(list(sys.orig_argv), env=env)
+    os._exit(code)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1313)
+
+
+@pytest.fixture(scope="session")
+def sampling():
+    """The reference's bundled 813-station dataset (data-raw/sampling.csv):
+    columns long, lat, bio_1 (annual temp), bio_12 (annual precip)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "machisplin_tpu", "data", "sampling.csv")
+    return np.genfromtxt(path, delimiter=",", names=True)
