@@ -1,0 +1,112 @@
+"""Boosted regression trees (gaussian gbm core).
+
+The reference's BRT is ``gbm::gbm`` driven by the vendored ``gbm.step``
+(V73:247 CV with tree.complexity=25 / learning.rate=0.01; V73:493 final with
+5 / 0.001; bag.fraction 0.5 both).  This module is the gbm core: sequential
+gaussian boosting with best-first trees of a fixed split budget
+(interaction.depth == n_splits), row subsampling per tree, shrinkage, and an
+initial fit F0 = weighted mean.  The gbm.step tree-count selection loop lives
+in models/gbm_step.py.
+
+TPU-native: one ``lax.scan`` over trees; each step grows a histogram tree via
+one-hot matmuls (models/trees.py).  ``sample_weight`` doubles as the fold
+mask so the CV driver vmaps folds through this same code.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import as_weight
+from .trees import Tree, bin_data, grow_bestfirst_tree, make_bins, tree_predict
+
+
+class BRTState(NamedTuple):
+    trees: Tree           # stacked, leading axis = n_trees (budget)
+    edges: jax.Array
+    f0: jax.Array         # () initial prediction
+    lr: jax.Array         # ()
+    n_splits: int
+    tree_active: jax.Array  # (n_trees,) 1.0 for trees inside best.trees
+    train_deviance: jax.Array  # (n_trees,) in-bag gaussian deviance path
+    holdout_deviance: jax.Array  # (n_trees,) deviance on sample_weight==0 rows
+
+
+def fit(
+    key,
+    x,
+    y,
+    *,
+    sample_weight=None,
+    n_trees: int = 1000,
+    n_splits: int = 5,
+    lr: float = 0.01,
+    bag_fraction: float = 0.5,
+    min_leaf: float = 10.0,
+    n_bins: int = 64,
+    n_trees_active=None,
+    edges=None,
+    xb=None,
+) -> BRTState:
+    """Train a gaussian BRT.  ``n_trees`` is the static budget; if
+    ``n_trees_active`` (traced scalar) is given, later trees still train but
+    contribute nothing — the bucketing hook used by gbm_step's final refit."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    if edges is None:
+        edges = make_bins(x, n_bins)
+    if xb is None:
+        xb = bin_data(x, edges)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    f0 = jnp.sum(w * y) / wsum
+    if n_trees_active is None:
+        n_trees_active = jnp.asarray(n_trees)
+    active = (jnp.arange(n_trees) < n_trees_active).astype(x.dtype)
+
+    test_w = (w <= 0).astype(x.dtype)
+    test_sum = jnp.maximum(jnp.sum(test_w), 1.0)
+
+    def step(carry, inp):
+        f = carry
+        key_t, act = inp
+        bag = (jax.random.uniform(key_t, (n,)) < bag_fraction).astype(x.dtype) * w
+        resid = y - f
+        tree = grow_bestfirst_tree(xb, edges, resid, bag, n_splits=n_splits, min_leaf=min_leaf)
+        upd = lr * tree_predict(tree, x, n_splits) * act
+        f = f + upd
+        train_dev = jnp.sum(w * (y - f) ** 2) / wsum
+        hold_dev = jnp.sum(test_w * (y - f) ** 2) / test_sum
+        return f, (tree, train_dev, hold_dev)
+
+    keys = jax.random.split(key, n_trees)
+    f_init = jnp.full((n,), f0)
+    _, (trees, train_dev, hold_dev) = jax.lax.scan(step, f_init, (keys, active))
+    return BRTState(
+        trees=trees, edges=edges, f0=f0, lr=jnp.asarray(lr, x.dtype),
+        n_splits=n_splits, tree_active=active,
+        train_deviance=train_dev, holdout_deviance=hold_dev,
+    )
+
+
+def predict(state: BRTState, x, n_trees=None) -> jax.Array:
+    """F0 + lr * sum of active trees (optionally truncated at ``n_trees``)."""
+    x = jnp.asarray(x)
+    budget = state.tree_active.shape[0]
+    act = state.tree_active
+    if n_trees is not None:
+        act = act * (jnp.arange(budget) < n_trees)
+    preds = jax.vmap(lambda t: tree_predict(t, x, state.n_splits))(state.trees)
+    return state.f0 + state.lr * jnp.tensordot(act, preds, axes=1)
+
+
+def importance(state: BRTState, names) -> dict:
+    """gbm relative influence: split-gain totals per variable scaled to sum
+    100 (``summary.gbm`` / gbm.step ``$contributions``, V73:495/2115)."""
+    gains = jnp.sum(state.trees.var_gain * state.tree_active[:, None], axis=0)
+    rel = 100.0 * gains / jnp.maximum(jnp.sum(gains), 1e-12)
+    order = jnp.argsort(-rel)
+    return {names[int(j)]: float(rel[int(j)]) for j in order}

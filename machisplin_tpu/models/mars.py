@@ -1,0 +1,230 @@
+"""MARS — multivariate adaptive regression splines (additive, degree 1).
+
+Mirrors the reference's ``earth::earth(form, data, nfold=10)`` (V73:250 CV,
+V73:539 final): forward selection of reflected hinge pairs
+(max(x_v - t, 0), max(t - x_v, 0)), then backward pruning by the GCV
+criterion  GCV(M) = RSS/n / (1 - C(M)/n)^2  with effective parameter count
+C(M) = terms + penalty*(terms-1)/2 and earth's additive-model penalty = 2.
+(earth's ``nfold`` only adds CV variance estimates; pruning stays GCV-driven,
+so it is not replicated here.)  Variable importance follows ``earth::evimp``
+(V73:541): per-variable RSS and GCV criteria over the pruned model.
+
+TPU-native shape discipline: the forward pass always adds ``n_pairs`` hinge
+pairs (candidate gains computed for every (variable, knot-quantile) pair in
+one batched 2x2-solve sweep) and the backward pass prunes over a static mask,
+so the whole fit jits once and vmaps across CV folds — unlike earth's
+data-dependent term counts.  Dead candidates are pruned by GCV exactly as
+earth's backward pass would drop them.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import as_weight
+
+
+class MARSState(NamedTuple):
+    vars: jax.Array      # (T,) int32 variable per hinge pair
+    knots: jax.Array     # (T,) knot location (raw scale)
+    coef: jax.Array      # (2T + 1,) coefficients, 0 where pruned
+    active: jax.Array    # (2T + 1,) float 0/1 column mask after pruning
+    gcv: jax.Array       # () best GCV
+    rss: jax.Array       # () RSS of the pruned model
+
+
+def _design(x, vars_, knots):
+    """Hinge design matrix [1, h1+, h1-, h2+, h2-, ...] of shape (n, 2T+1)."""
+    xv = x[:, vars_]                                   # (n, T)
+    plus = jnp.maximum(xv - knots[None, :], 0.0)
+    minus = jnp.maximum(knots[None, :] - xv, 0.0)
+    cols = jnp.stack([plus, minus], axis=2).reshape(x.shape[0], -1)
+    return jnp.concatenate([jnp.ones((x.shape[0], 1), x.dtype), cols], axis=1)
+
+
+def _masked_rss(bmat, ysw, mask, ridge):
+    """RSS + coefficients of the OLS fit restricted to mask (0/1 columns).
+
+    Two robustness requirements drive this implementation: columns are
+    scale-normalised (hinges on raw covariates span many orders of
+    magnitude), and the RSS is computed directly from the residual vector —
+    reflected hinge pairs on one variable are *exactly* collinear with the
+    intercept (plus - minus = x - t), so the Gram system is structurally
+    rank-deficient and the textbook  yy - b'coef  shortcut is numerically
+    meaningless there.  The ridge picks one of the equivalent solutions;
+    the fit itself is unaffected."""
+    s = jnp.sqrt(jnp.maximum(jnp.sum(bmat * bmat, axis=0), 1e-30))
+    bn = bmat / s[None, :]
+    m = mask
+    gm = (bn.T @ bn) * jnp.outer(m, m) + jnp.diag(1.0 - m) + ridge * jnp.diag(m)
+    rhs = (bn.T @ ysw) * m
+    coef_n = jnp.linalg.solve(gm, rhs)
+    resid = ysw - bn @ (coef_n * m)
+    return jnp.sum(resid * resid), coef_n * m / s
+
+
+def fit(
+    key,
+    x,
+    y,
+    *,
+    sample_weight=None,
+    n_pairs: int = 10,
+    n_knots: int = 64,
+    penalty: float = 2.0,
+    ridge: float = 1e-8,
+) -> MARSState:
+    del key
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    n_eff = jnp.maximum(jnp.sum(w), 1.0)
+    sw = jnp.sqrt(w)
+
+    # knot candidates: weight-aware quantiles per variable (train rows only)
+    qs = jnp.linspace(0.02, 0.98, n_knots, dtype=x.dtype)
+    order = jnp.argsort(x, axis=0)                              # (n, p)
+    xs_sorted = jnp.take_along_axis(x, order, axis=0)
+    w_sorted = w[order]
+    cw = jnp.cumsum(w_sorted, axis=0) / n_eff                   # (n, p)
+    # for each quantile, first sorted index with cumweight >= q
+    idx = jnp.sum(cw[None, :, :] < qs[:, None, None], axis=1)   # (K, p)
+    idx = jnp.clip(idx, 0, n - 1)
+    knot_grid = jnp.take_along_axis(xs_sorted, idx, axis=0).T   # (p, K)
+
+    # all candidate hinge columns in sqrt-weight space
+    xv = x.T[:, None, :]                                        # (p, 1, n)
+    kg = knot_grid[:, :, None]                                  # (p, K, 1)
+    cand_plus = (jnp.maximum(xv - kg, 0.0) * sw[None, None, :]).reshape(p * n_knots, n)
+    cand_minus = (jnp.maximum(kg - xv, 0.0) * sw[None, None, :]).reshape(p * n_knots, n)
+
+    ysw = y * sw
+    q0 = sw / jnp.sqrt(n_eff)                                   # weighted intercept, unit norm
+    tiny = jnp.asarray(1e-10, x.dtype)
+
+    def forward_step(carry, _):
+        q_basis, resid = carry                                  # (n, M), (n,)
+        # project candidates off the current basis
+        pa = cand_plus - (cand_plus @ q_basis) @ q_basis.T      # (C, n)
+        pb = cand_minus - (cand_minus @ q_basis) @ q_basis.T
+        aa = jnp.sum(pa * pa, axis=1)
+        bb = jnp.sum(pb * pb, axis=1)
+        ab = jnp.sum(pa * pb, axis=1)
+        ar = pa @ resid
+        br = pb @ resid
+        det = aa * bb - ab * ab
+        # joint 2x2 gain, falling back to the better single column when the
+        # pair is (near) collinear with the basis
+        gain2 = jnp.where(
+            det > tiny * jnp.maximum(aa * bb, tiny),
+            (bb * ar * ar - 2 * ab * ar * br + aa * br * br) / jnp.maximum(det, tiny),
+            0.0,
+        )
+        gain1 = jnp.maximum(
+            jnp.where(aa > tiny, ar * ar / jnp.maximum(aa, tiny), 0.0),
+            jnp.where(bb > tiny, br * br / jnp.maximum(bb, tiny), 0.0),
+        )
+        gain = jnp.maximum(gain2, gain1)
+        best = jnp.argmax(gain)
+        # orthonormalise the chosen pair into the basis
+        u1 = pa[best]
+        n1 = jnp.sqrt(jnp.maximum(jnp.sum(u1 * u1), tiny))
+        e1 = jnp.where(n1 > 1e-6, u1 / n1, 0.0)
+        u2 = pb[best] - (pb[best] @ e1) * e1
+        n2 = jnp.sqrt(jnp.maximum(jnp.sum(u2 * u2), tiny))
+        e2 = jnp.where(n2 > 1e-6, u2 / n2, 0.0)
+        resid = resid - (resid @ e1) * e1 - (resid @ e2) * e2
+        q_basis = jnp.concatenate([q_basis, e1[:, None], e2[:, None]], axis=1)
+        return (q_basis, resid), best
+
+    resid0 = ysw - (ysw @ q0) * q0
+    # lax.scan would be natural here, but the basis grows each step; with a
+    # static small n_pairs a Python loop unrolls fine under jit.
+    q_basis = q0[:, None]
+    resid = resid0
+    picks = []
+    for _ in range(n_pairs):
+        (q_basis, resid), best = forward_step((q_basis, resid), None)
+        picks.append(best)
+    picks = jnp.stack(picks)
+    vars_ = (picks // n_knots).astype(jnp.int32)
+    flat_knots = knot_grid.reshape(-1)
+    knots = flat_knots[picks]
+
+    # ---- backward pruning by GCV over the static design -------------------
+    b_full = _design(x, vars_, knots) * sw[:, None]             # (n, 2T+1)
+    ncols = b_full.shape[1]
+
+    def gcv_of(rss, m_count):
+        c = m_count + penalty * (m_count - 1.0) / 2.0
+        denom = jnp.maximum(1.0 - c / n_eff, 1.0 / n_eff) ** 2
+        return rss / n_eff / denom
+
+    col_ids = jnp.arange(ncols)
+
+    def prune_step(carry, _):
+        mask, best_gcv, best_mask = carry
+        # try removing each active non-intercept column
+        def rss_without(j):
+            mj = mask * (col_ids != j)
+            rss, _ = _masked_rss(b_full, ysw, mj, ridge)
+            return rss
+
+        cand_rss = jax.vmap(rss_without)(col_ids)
+        removable = (mask > 0) & (col_ids > 0)
+        cand_rss = jnp.where(removable, cand_rss, jnp.inf)
+        j = jnp.argmin(cand_rss)
+        new_mask = mask * (col_ids != j)
+        m_count = jnp.sum(new_mask)
+        gcv = gcv_of(cand_rss[j], m_count)
+        better = gcv < best_gcv
+        best_gcv = jnp.where(better, gcv, best_gcv)
+        best_mask = jnp.where(better, new_mask, best_mask)
+        return (new_mask, best_gcv, best_mask), None
+
+    full_mask = jnp.ones((ncols,), x.dtype)
+    rss_full, _ = _masked_rss(b_full, ysw, full_mask, ridge)
+    best_gcv0 = gcv_of(rss_full, jnp.asarray(float(ncols), x.dtype))
+    (final_mask, best_gcv, best_mask), _ = jax.lax.scan(
+        prune_step, (full_mask, best_gcv0, full_mask), None, length=ncols - 1
+    )
+    del final_mask
+    rss_best, coef = _masked_rss(b_full, ysw, best_mask, ridge)
+    return MARSState(
+        vars=vars_, knots=knots, coef=coef, active=best_mask, gcv=best_gcv, rss=rss_best
+    )
+
+
+def predict(state: MARSState, x) -> jax.Array:
+    b = _design(jnp.asarray(x), state.vars, state.knots)
+    return b @ (state.coef * state.active)
+
+
+def importance(state: MARSState, x, y, names, sample_weight=None) -> dict:
+    """evimp-style report: per variable, number of surviving terms and the RSS
+    increase from deleting all of its terms (normalised to 100 for the worst)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    w = as_weight(sample_weight, x.shape[0], x.dtype)
+    sw = jnp.sqrt(w)
+    b = _design(x, state.vars, state.knots) * sw[:, None]
+    ysw = y * sw
+    p = len(names)
+    col_var = jnp.concatenate(
+        [jnp.array([-1]), jnp.repeat(state.vars, 2)]
+    )  # (2T+1,), -1 = intercept
+    out = {}
+    deltas = []
+    nterms = []
+    for v in range(p):
+        mv = state.active * (col_var != v)
+        rss_v, _ = _masked_rss(b, ysw, mv, 1e-8)
+        deltas.append(float(rss_v - state.rss))
+        nterms.append(int(jnp.sum(state.active * (col_var == v))))
+    dmax = max(max(deltas), 1e-12)
+    for i, n in enumerate(names):
+        out[n] = {"nsubsets": nterms[i], "rss": 100.0 * deltas[i] / dmax}
+    return out

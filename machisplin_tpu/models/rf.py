@@ -1,0 +1,119 @@
+"""Random forest regression.
+
+Mirrors the reference's ``randomForest::randomForest(mod.form, data)``
+(V73:248 CV; V73:517 final with ``importance=TRUE``): regression defaults
+ntree = 500, mtry = max(floor(p/3), 1), nodesize = 5, bootstrap sampling with
+replacement; importance report with both %IncMSE (out-of-bag permutation) and
+IncNodePurity (summed split-gain), like randomForest's importance matrix
+(V73:519).
+
+TPU-native: trees are binned-histogram CARTs grown level-wise with one-hot
+matmul statistics (models/trees.py), vmapped in chunks over the tree axis.
+Depth is capped (static shapes) at ``max_depth`` — with nodesize 5 this
+matches randomForest's effective depth on thousands-of-rows workloads.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import as_weight
+from .trees import Tree, bin_data, forest_predict, grow_level_tree, make_bins, tree_predict
+
+
+class RFState(NamedTuple):
+    trees: Tree           # stacked, leading axis = ntree
+    edges: jax.Array      # (p, n_bins - 1)
+    max_depth: int
+    oob_count: jax.Array  # (ntree, n) bootstrap counts (0 => OOB)
+
+
+def fit(
+    key,
+    x,
+    y,
+    *,
+    sample_weight=None,
+    ntree: int = 500,
+    mtry: int | None = None,
+    max_depth: int = 9,
+    min_leaf: float = 5.0,
+    n_bins: int = 64,
+    tree_chunk: int = 50,
+) -> RFState:
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    if mtry is None:
+        mtry = max(p // 3, 1)
+    edges = make_bins(x, n_bins)
+    xb = bin_data(x, edges)
+    n_active = jnp.maximum(jnp.sum(w > 0), 1.0)
+
+    def one_tree(key):
+        kboot, kgrow = jax.random.split(key)
+        # bootstrap: n draws with replacement from the active rows
+        logits = jnp.where(w > 0, 0.0, -jnp.inf)
+        draws = jax.random.categorical(kboot, logits, shape=(n,))
+        counts = (
+            (draws[:, None] == jnp.arange(n)[None, :]).astype(x.dtype).sum(axis=0)
+        )
+        # keep expected sample count equal to the active-row count
+        counts = counts * (n_active / n)
+        tree = grow_level_tree(
+            kgrow, xb, edges, y, counts,
+            max_depth=max_depth, min_leaf=min_leaf, mtry=mtry,
+        )
+        return tree, counts
+
+    keys = jax.random.split(key, ntree)
+    chunks = max(ntree // tree_chunk, 1)
+    keys = keys.reshape(chunks, -1, 2)
+    trees, counts = jax.lax.map(lambda ks: jax.vmap(one_tree)(ks), keys)
+    trees = jax.tree.map(lambda a: a.reshape((ntree,) + a.shape[2:]), trees)
+    counts = counts.reshape(ntree, n)
+    return RFState(trees=trees, edges=edges, max_depth=max_depth, oob_count=counts)
+
+
+def predict(state: RFState, x) -> jax.Array:
+    return forest_predict(state.trees, jnp.asarray(x), state.max_depth)
+
+
+def importance(state: RFState, x, y, names, key=None, sample_weight=None) -> dict:
+    """randomForest-style importance matrix: %IncMSE (OOB permutation) and
+    IncNodePurity (total split-gain), per covariate (V73:519)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    if key is None:
+        key = jax.random.PRNGKey(1313)
+    w = as_weight(sample_weight, n, x.dtype)
+
+    purity = jnp.sum(state.trees.var_gain, axis=0)
+
+    def tree_oob_mse(tree, oob_w, xs):
+        pred = tree_predict(tree, xs, state.max_depth)
+        return jnp.sum(oob_w * (pred - y) ** 2) / jnp.maximum(jnp.sum(oob_w), 1e-12)
+
+    oob_w = (state.oob_count == 0).astype(x.dtype) * w
+    base = jax.vmap(lambda t, ow: tree_oob_mse(t, ow, x))(state.trees, oob_w)
+
+    def perm_feature(j, key):
+        perm = jax.random.permutation(key, n)
+        xp = x.at[:, j].set(x[perm, j])
+        mse = jax.vmap(lambda t, ow: tree_oob_mse(t, ow, xp))(state.trees, oob_w)
+        return jnp.mean(mse - base)
+
+    keys = jax.random.split(key, p)
+    inc_mse = jnp.stack([perm_feature(j, keys[j]) for j in range(p)])
+    denom = jnp.maximum(jnp.mean(base), 1e-12)
+    out = {}
+    for j, nme in enumerate(names):
+        out[nme] = {
+            "%IncMSE": float(100.0 * inc_mse[j] / denom),
+            "IncNodePurity": float(purity[j]),
+        }
+    return out

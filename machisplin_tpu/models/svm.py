@@ -1,0 +1,127 @@
+"""SVM model — epsilon-SVR with an RBF kernel.
+
+Mirrors the reference's ``kernlab::ksvm(form, data)`` defaults (V73:251 CV,
+V73:560 final): eps-SVR, C = 1, epsilon = 0.1, Gaussian kernel
+k(x,z) = exp(-sigma * |x-z|^2) with sigma picked by kernlab's ``sigest``
+heuristic (quantiles of pairwise squared distances), and inputs/response
+standardised (ksvm ``scaled=TRUE``).
+
+Solver: the dual in theta = alpha - alpha* reduces (with the bias absorbed by
+a +1 kernel offset, the standard penalised-bias trick) to a box-constrained
+lasso-type QP
+
+    min_theta  1/2 theta' Q theta - y' theta + eps |theta|_1 ,  |theta_i| <= C
+
+solved by cyclic coordinate descent with a soft-threshold update — a fixed
+iteration count under ``lax.scan`` so the whole fit jits and vmaps across CV
+folds.  n is at most a few thousand in this pipeline, so Q stays resident.
+
+Variable importance is computed by the pipeline via the breakDown-style
+sampled contribution report (ensemble/importance.py), matching V73:562-580.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import as_weight
+
+
+class SVMState(NamedTuple):
+    sv_x: jax.Array       # (n, p) standardised training inputs
+    theta: jax.Array      # (n,) dual coefficients (0 for non-SVs and masked rows)
+    bias: jax.Array       # ()
+    sigma: jax.Array      # () RBF inverse width
+    x_mean: jax.Array
+    x_scale: jax.Array
+    y_mean: jax.Array
+    y_scale: jax.Array
+
+
+def _rbf(a, b, sigma):
+    aa = jnp.sum(a * a, axis=1)[:, None]
+    bb = jnp.sum(b * b, axis=1)[None, :]
+    r2 = jnp.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+    return jnp.exp(-sigma * r2)
+
+
+def _sigest(xs, w, key):
+    """kernlab sigest: sigma bounds from the 0.1/0.9 quantiles of |x-z|^2 over
+    a random sample of pairs; kernlab uses the mean of the two bounds."""
+    n = xs.shape[0]
+    m = min(2 * n, 2000)
+    i = jax.random.randint(key, (m,), 0, n)
+    j = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0, n)
+    valid = (w[i] > 0) & (w[j] > 0) & (i != j)
+    d2 = jnp.sum((xs[i] - xs[j]) ** 2, axis=1)
+    d2 = jnp.where(valid, d2, jnp.nan)
+    q = jnp.nanquantile(d2, jnp.asarray([0.9, 0.1], xs.dtype))
+    inv = 1.0 / jnp.maximum(q, 1e-12)
+    return jnp.mean(inv)
+
+
+def fit(
+    key,
+    x,
+    y,
+    *,
+    sample_weight=None,
+    c_reg: float = 1.0,
+    epsilon: float = 0.1,
+    sigma: float | None = None,
+    epochs: int = 120,
+) -> SVMState:
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+
+    x_mean = jnp.sum(x * w[:, None], axis=0) / wsum
+    xc = x - x_mean
+    x_scale = jnp.sqrt(jnp.sum(w[:, None] * xc * xc, axis=0) / (wsum - 1.0))
+    x_scale = jnp.where(x_scale > 0, x_scale, 1.0)
+    xs = xc / x_scale
+    y_mean = jnp.sum(y * w) / wsum
+    y_scale = jnp.sqrt(jnp.sum(w * (y - y_mean) ** 2) / (wsum - 1.0))
+    y_scale = jnp.where(y_scale > 0, y_scale, 1.0)
+    ys = (y - y_mean) / y_scale
+
+    if sigma is None:
+        sig = _sigest(xs, w, key)
+    else:
+        sig = jnp.asarray(sigma, x.dtype)
+
+    q = _rbf(xs, xs, sig) + 1.0            # +1 absorbs the bias
+    q = q * jnp.outer(w, w)                # masked rows decouple entirely
+    q = q + jnp.diag(1.0 - w)
+    diag = jnp.diag(q)
+
+    def epoch(theta, _):
+        def coord(i, theta):
+            grad_i = q[i] @ theta - ys[i] * w[i]
+            cand = theta[i] - grad_i / jnp.maximum(diag[i], 1e-12)
+            # soft threshold toward zero by eps/diag, then clip to the box
+            shift = epsilon * w[i] / jnp.maximum(diag[i], 1e-12)
+            cand = jnp.sign(cand) * jnp.maximum(jnp.abs(cand) - shift, 0.0)
+            cand = jnp.clip(cand, -c_reg, c_reg) * w[i]
+            return theta.at[i].set(cand)
+
+        theta = jax.lax.fori_loop(0, n, coord, theta)
+        return theta, None
+
+    theta, _ = jax.lax.scan(epoch, jnp.zeros((n,), x.dtype), None, length=epochs)
+    bias = jnp.sum(theta)                  # bias = sum theta_i from the +1 offset
+    return SVMState(
+        sv_x=xs, theta=theta, bias=bias, sigma=sig,
+        x_mean=x_mean, x_scale=x_scale, y_mean=y_mean, y_scale=y_scale,
+    )
+
+
+def predict(state: SVMState, x) -> jax.Array:
+    xs = (jnp.asarray(x) - state.x_mean) / state.x_scale
+    k = _rbf(xs, state.sv_x, state.sigma)
+    f = k @ state.theta + state.bias
+    return f * state.y_scale + state.y_mean

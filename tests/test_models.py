@@ -1,0 +1,161 @@
+"""Model zoo tests: each algorithm must learn a noisy nonlinear surface well
+(R^2 gates), honor sample-weight masking (the CV fold mechanism), and produce
+its reference-style importance report (V73:247-252, 447-613)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from machisplin_tpu.models import brt, gam, gbm_step, mars, nn, rf, svm, trees
+
+NAMES = ("alt", "slope", "twi", "LONG", "LAT")
+
+
+def make_data(rng, n=400, noise=0.05):
+    x = rng.uniform(0, 1, size=(n, 5))
+    y = (
+        2.0 * x[:, 0]
+        + np.sin(3 * x[:, 1])
+        + 0.5 * (x[:, 2] > 0.6)
+        + 0.3 * x[:, 3] * x[:, 4]
+        + noise * rng.standard_normal(n)
+    )
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def r2(y, pred):
+    y, pred = np.asarray(y), np.asarray(pred)
+    return 1 - np.sum((y - pred) ** 2) / np.sum((y - np.mean(y)) ** 2)
+
+
+def test_gam_is_ols(rng):
+    x, _ = make_data(rng)
+    beta = np.array([1.0, -2.0, 0.5, 3.0, 0.0])
+    y = jnp.asarray(np.asarray(x) @ beta + 4.0)
+    state = gam.fit(None, x, y)
+    np.testing.assert_allclose(np.asarray(gam.predict(state, x)), np.asarray(y), atol=1e-6)
+    imp = gam.importance(state, NAMES)
+    np.testing.assert_allclose(imp["(Intercept)"], 4.0, atol=1e-5)
+    np.testing.assert_allclose([imp[n] for n in NAMES], beta, atol=1e-5)
+
+
+def test_gam_weighted_equals_subset(rng):
+    x, y = make_data(rng)
+    w = jnp.asarray((np.arange(400) < 300).astype(float))
+    full = gam.fit(None, x[:300], y[:300])
+    masked = gam.fit(None, x, y, sample_weight=w)
+    np.testing.assert_allclose(
+        np.asarray(gam.predict(masked, x[:10])), np.asarray(gam.predict(full, x[:10])), rtol=1e-6
+    )
+
+
+def test_nn_learns_nonlinear(rng):
+    x, y = make_data(rng)
+    state = nn.fit(jax.random.PRNGKey(0), x, y, maxit=300)
+    assert r2(y, nn.predict(state, x)) > 0.95
+    imp = nn.importance(state, NAMES)
+    assert pytest.approx(sum(imp.values()), abs=1e-6) == 1.0
+    assert all(v >= 0 for v in imp.values())
+
+
+def test_mars_recovers_hinges(rng):
+    x, _ = make_data(rng)
+    xa = np.asarray(x)
+    y = jnp.asarray(
+        2.0 * np.maximum(xa[:, 0] - 0.5, 0) - 3.0 * np.maximum(0.4 - xa[:, 1], 0) + 1.0
+    )
+    state = mars.fit(None, x, y)
+    assert r2(y, mars.predict(state, x)) > 0.999
+    imp = mars.importance(state, x, y, NAMES)
+    # the two informative variables dominate the evimp-style rss criterion
+    scores = {k: v["rss"] for k, v in imp.items()}
+    assert scores["alt"] > scores["twi"]
+    assert scores["slope"] > scores["twi"]
+
+
+def test_mars_smooth_function(rng):
+    x, y = make_data(rng)
+    state = mars.fit(None, x, y)
+    assert r2(y, mars.predict(state, x)) > 0.9
+
+
+def test_svm_fits(rng):
+    x, y = make_data(rng)
+    state = svm.fit(jax.random.PRNGKey(0), x, y)
+    assert r2(y, svm.predict(state, x)) > 0.9
+    # epsilon-insensitivity: many dual coefficients exactly at zero
+    theta = np.asarray(state.theta)
+    assert np.mean(np.abs(theta) < 1e-9) > 0.05
+
+
+def test_svm_weighted_masks_rows(rng):
+    x, y = make_data(rng, n=200)
+    w = jnp.asarray((np.arange(200) < 150).astype(float))
+    state = svm.fit(jax.random.PRNGKey(0), x, y, sample_weight=w)
+    assert np.all(np.asarray(state.theta)[150:] == 0)
+
+
+def test_tree_binning_roundtrip(rng):
+    x, _ = make_data(rng, n=100)
+    edges = trees.make_bins(x, 16)
+    xb = trees.bin_data(x, edges)
+    assert xb.shape == (100, 5)
+    assert int(xb.min()) >= 0 and int(xb.max()) <= 15
+
+
+def test_single_tree_splits_step_function(rng):
+    x, _ = make_data(rng, n=300)
+    xa = np.asarray(x)
+    y = jnp.asarray((xa[:, 2] > 0.5).astype(float))
+    edges = trees.make_bins(x, 32)
+    xb = trees.bin_data(x, edges)
+    w = jnp.ones(300)
+    t = trees.grow_level_tree(jax.random.PRNGKey(0), xb, edges, y, w, max_depth=2, min_leaf=5.0)
+    pred = trees.tree_predict(t, x, 2)
+    # quantile binning caps purity when the step falls inside a bin
+    assert r2(y, pred) > 0.95
+    assert int(np.argmax(np.asarray(t.var_gain))) == 2
+
+
+def test_rf_fits_and_importance(rng):
+    x, y = make_data(rng)
+    state = rf.fit(jax.random.PRNGKey(0), x, y, ntree=60, tree_chunk=20)
+    assert r2(y, rf.predict(state, x)) > 0.88
+    imp = rf.importance(state, x, y, NAMES)
+    assert set(imp[NAMES[0]].keys()) == {"%IncMSE", "IncNodePurity"}
+    # informative variables rank above the near-noise interaction terms
+    assert imp["alt"]["IncNodePurity"] > imp["LAT"]["IncNodePurity"]
+
+
+def test_brt_boosting_reduces_deviance(rng):
+    x, y = make_data(rng)
+    state = brt.fit(jax.random.PRNGKey(0), x, y, n_trees=150, n_splits=5, lr=0.1)
+    dev = np.asarray(state.train_deviance)
+    assert dev[-1] < dev[0] * 0.3
+    assert r2(y, brt.predict(state, x)) > 0.9
+    imp = brt.importance(state, NAMES)
+    assert pytest.approx(sum(imp.values()), abs=1e-3) == 100.0
+
+
+def test_brt_truncated_prediction(rng):
+    x, y = make_data(rng, n=150)
+    state = brt.fit(jax.random.PRNGKey(0), x, y, n_trees=60, n_splits=3, lr=0.1)
+    p30 = brt.predict(state, x, n_trees=30)
+    p60 = brt.predict(state, x)
+    assert not np.allclose(np.asarray(p30), np.asarray(p60))
+
+
+def test_gbm_step_selects_tree_count(rng):
+    x, y = make_data(rng, n=250)
+    res = gbm_step.fit(
+        jax.random.PRNGKey(3), x, y,
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=600, n_folds=5,
+    )
+    assert res.best_trees >= 25
+    assert res.best_trees <= res.trees_fitted
+    curve = np.asarray(res.cv_deviance)
+    finite = curve[np.isfinite(curve)]
+    assert len(finite) == res.trees_fitted // 25
+    # the selected checkpoint is the argmin of the finite curve
+    assert np.argmin(finite) == res.best_trees // 25 - 1
+    assert r2(y, gbm_step.predict(res, x)) > 0.85
