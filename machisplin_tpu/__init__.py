@@ -20,19 +20,34 @@ device-mesh sharding (parallel/).
 """
 
 from .grid import GridSpec, Raster, WGS84, crop, extend, extract, lonlat_rasters, mosaic, resample_near, stack
+from .io.geotiff import read_geotiff, write_geotiff_file
+from .io.writers import write_geotiff, write_loadings, write_residuals
+from .pipeline.mltps import LayerResult, MLTPSConfig, mltps
+from .pipeline.tiles import tiles_create, tiles_id, tiles_merge
 
 __version__ = "0.1.0"
 
 __all__ = [
     "GridSpec",
+    "LayerResult",
+    "MLTPSConfig",
     "Raster",
     "WGS84",
     "crop",
     "extend",
     "extract",
     "lonlat_rasters",
+    "mltps",
     "mosaic",
+    "read_geotiff",
     "resample_near",
     "stack",
+    "tiles_create",
+    "tiles_id",
+    "tiles_merge",
+    "write_geotiff",
+    "write_geotiff_file",
+    "write_loadings",
+    "write_residuals",
     "__version__",
 ]

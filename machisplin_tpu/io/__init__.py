@@ -1,0 +1,10 @@
+from .geotiff import read_geotiff, write_geotiff_file
+from .writers import write_geotiff, write_loadings, write_residuals
+
+__all__ = [
+    "read_geotiff",
+    "write_geotiff",
+    "write_geotiff_file",
+    "write_loadings",
+    "write_residuals",
+]

@@ -89,16 +89,18 @@ def _cv_deviance_curve(
     def holdout_dev(f):
         return jnp.sum(test_w * (y[None, :] - f) ** 2, axis=1) / test_sum   # (k,)
 
+    win = min(10, max_cp)  # static; the rule only ever fires when j >= 20
+
     def cond(carry):
         j, f, dev, keys_used = carry
         del f, keys_used
         not_done = j < max_cp
         warmed = j >= 20
         test1 = jnp.mean(
-            jax.lax.dynamic_slice(dev, (jnp.maximum(j - 10, 0), 0), (10, n_folds)), axis=0
+            jax.lax.dynamic_slice(dev, (jnp.maximum(j - win, 0), 0), (win, n_folds)), axis=0
         )
         test2 = jnp.mean(
-            jax.lax.dynamic_slice(dev, (jnp.maximum(j - 20, 0), 0), (10, n_folds)), axis=0
+            jax.lax.dynamic_slice(dev, (jnp.maximum(j - 2 * win, 0), 0), (win, n_folds)), axis=0
         )
         delta = jnp.mean(test2 - test1)   # mean over folds of checkpoint means
         return not_done & ((~warmed) | (delta > tolerance))

@@ -44,8 +44,8 @@ def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks):
     xmin, dx, ymax, dy, sx0, sx1, sy0, sy1 = geom
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (_BLOCK_R, _BLOCK_C), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (_BLOCK_R, _BLOCK_C), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, _BLOCK_C), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, _BLOCK_C), 1).astype(jnp.float32)
     gx = xmin + (j * _BLOCK_C + cols + 0.5) * dx
     gy = ymax - (i * _BLOCK_R + rows + 0.5) * dy
     px = ((gx - sx0) / sx1).reshape(_BLOCK_R * _BLOCK_C, 1)

@@ -1,0 +1,121 @@
+"""Multi-device sharding of the tiled TPS pipeline.
+
+The reference's only scale mechanisms are a serial per-tile loop (V73:690-738)
+and a deleted snow socket-cluster over response layers (old/...V69.R:936-969).
+The TPU-native replacement: tiles are padded to one static knot budget
+(ops/tps.py's mask-exact factorisation), stacked on a leading axis, and
+sharded across a device mesh with ``shard_map`` — every device factorises and
+solves its tile batch and evaluates its tile's surface block; responses batch
+in the trailing matmul dimension ("dp over responses" x "sp over tiles").
+
+Uniform tile geometry makes the per-tile grid a traced quantity: all tiles
+share (tile_rows, tile_cols, dx, dy) and differ only by origin, so one jitted
+program serves every tile on every device.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.tps import TPSModel, _pairwise_r2, _phi, tps_factor, tps_solve
+
+__all__ = ["make_mesh", "pack_tiles", "batched_tile_tps", "tile_tps_predict"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tile") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def pack_tiles(coords_list, y_list, pad_to: int | None = None):
+    """Pad per-tile (coords, y) to one static knot budget with masks.
+
+    Returns coords (T, K, 2), y (T, K) or (T, K, R), mask (T, K)."""
+    sizes = [len(c) for c in coords_list]
+    k = pad_to or max(max(sizes), 8)
+    t = len(coords_list)
+    resp_shape = np.asarray(y_list[0]).shape[1:]
+    coords = np.full((t, k, 2), 0.5)
+    y = np.zeros((t, k) + resp_shape)
+    mask = np.zeros((t, k))
+    for i, (c, v) in enumerate(zip(coords_list, y_list)):
+        n = len(c)
+        if n > k:
+            raise ValueError(f"tile {i} has {n} knots > budget {k}")
+        coords[i, :n] = np.asarray(c)
+        y[i, :n] = np.asarray(v)
+        mask[i, :n] = 1.0
+    return jnp.asarray(coords), jnp.asarray(y), jnp.asarray(mask)
+
+
+def _predict_tile(model: TPSModel, origin, tile_shape, cell):
+    """Evaluate a tile surface from a traced origin (xmin, ymax).
+
+    tile_shape (rows, cols) and cell (dx, dy) are static."""
+    rows, cols = tile_shape
+    dx, dy = cell
+    dtype = model.c.dtype
+    xs = origin[0] + (jnp.arange(cols, dtype=dtype) + 0.5) * dx
+    ys = origin[1] - (jnp.arange(rows, dtype=dtype) + 0.5) * dy
+    px = (jnp.broadcast_to(xs[None, :], (rows, cols)).reshape(-1) - model.shift[0]) / model.scale[0]
+    py = (jnp.broadcast_to(ys[:, None], (rows, cols)).reshape(-1) - model.shift[1]) / model.scale[1]
+    pts = jnp.stack([px, py], axis=1)
+    phi = _phi(_pairwise_r2(pts, model.knots), dtype)
+    poly = jnp.concatenate([jnp.ones((pts.shape[0], 1), dtype), pts], axis=1)
+    out = phi @ model.c + poly @ model.d
+    out_shape = (rows, cols) + out.shape[1:]
+    return out.reshape(out_shape)
+
+
+def _solve_and_predict(coords, y, mask, origin, *, tile_shape, cell, lam, ngrid, refine):
+    factor = tps_factor(coords, mask)
+    model = tps_solve(factor, y, lam=lam, ngrid=ngrid, refine=refine)
+    return _predict_tile(model, origin, tile_shape, cell)
+
+
+def batched_tile_tps(
+    coords,
+    y,
+    mask,
+    origins,
+    *,
+    tile_shape: tuple[int, int],
+    cell: tuple[float, float],
+    lam=None,
+    ngrid: int = 200,
+    refine: int = 40,
+    mesh: Mesh | None = None,
+    axis: str = "tile",
+):
+    """Solve + predict every tile; vmapped on one device or shard_mapped over
+    a mesh (tile count must divide the mesh axis size when sharded).
+
+    coords (T, K, 2), y (T, K[, R]), mask (T, K), origins (T, 2) ->
+    surfaces (T, rows, cols[, R]).
+    """
+    fn = partial(
+        _solve_and_predict, tile_shape=tile_shape, cell=cell,
+        lam=lam, ngrid=ngrid, refine=refine,
+    )
+    batched = jax.vmap(fn)
+    if mesh is None:
+        return batched(coords, y, mask, origins)
+    spec = P(axis)
+    sharded = jax.shard_map(
+        lambda c, v, m, o: batched(c, v, m, o),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+    )
+    return sharded(coords, y, mask, origins)
+
+
+def tile_tps_predict(model: TPSModel, origin, tile_shape, cell):
+    """Public alias of the traced-origin tile evaluation."""
+    return _predict_tile(model, origin, tile_shape, cell)

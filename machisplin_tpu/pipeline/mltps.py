@@ -1,0 +1,340 @@
+"""mltps — the end-to-end ensemble + thin-plate-spline downscaling pipeline.
+
+Equivalent of ``machisplin.mltps(int.values, covar.ras, tps,
+smooth.outputs.only, trouble)`` (V73:114-968), restructured TPU-first:
+
+part 0  input prep: LONG/LAT bands appended to the covariate stack, stack
+        values gathered at the stations, NA rows dropped with the <75%
+        coverage warning (V73:123-195);
+part 1  10-fold CV of the six algorithms (vmapped folds) and the 0-1 weight
+        search over summed squared weighted residuals, with the reference's
+        rounded-weight > 5%-of-total keep rule (V73:204-429);
+part 2  final refits of the kept algorithms on all rows, weighted raster
+        prediction streamed over the grid in row blocks, weighted point
+        residuals, per-algorithm variable importance (V73:430-631);
+part 3  thin-plate spline of the ensemble residuals, auto-tiled into
+        1500-px blocks with +-20% fit / +-2.5% mosaic overlaps, <10-point
+        tiles short-circuiting to zero surfaces (V73:636-753) — tiles are
+        solved as ONE batched masked TPS factorisation instead of a serial
+        R loop;
+part 4  linear-ramp feathering of tile seams (V73:756-896 via ops/feather);
+part 5  final = ensemble + error surface, final R^2 at the stations, and the
+        keep-the-correction-only-if-R^2-improves rule (V73:898-965).
+
+Output mirrors the reference's per-layer ``omega[[i]]`` contract: $final
+raster, $residuals (residual, long, lat), $var.imp, $summary, $n.layers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ensemble.cv import CVConfig, residual_matrix, run_cv
+from ..ensemble.weights import WeightResult, optimize_weights_lbfgsb, optimize_weights_sweep
+from ..grid import GridSpec, Raster, crop, extend, extract, lonlat_rasters, mosaic, stack
+from ..models import brt, gam, gbm_step, mars, nn, rf, svm
+from ..models.base import LETTER_TO_NAME
+from ..ops.feather import feather_blend
+from ..ops.tps import tps_fit, tps_predict_grid
+from .importance import breakdown_importance
+
+log = logging.getLogger("machisplin")
+
+SMOOTH_LETTERS = "gnmv"  # BRT and RF excluded under smooth.outputs.only (V73:366-393)
+
+
+@dataclasses.dataclass(frozen=True)
+class MLTPSConfig:
+    """Pipeline hyperparameters; defaults mirror the reference call sites."""
+
+    cv: CVConfig = dataclasses.field(default_factory=CVConfig)
+    final_brt: dict = dataclasses.field(
+        default_factory=lambda: dict(
+            tree_complexity=5, learning_rate=0.001, bag_fraction=0.5,
+            step_size=50, max_trees=10000,
+        )
+    )
+    final_rf: dict = dataclasses.field(default_factory=lambda: dict(ntree=500))
+    final_nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=400))
+    final_mars: dict = dataclasses.field(default_factory=dict)
+    final_svm: dict = dataclasses.field(default_factory=dict)
+    final_gam: dict = dataclasses.field(default_factory=dict)
+    tps_tile_px: int = 1500          # V73:656-660
+    tps_fit_overlap: float = 0.2     # V73:673
+    tps_mosaic_overlap: float = 0.025  # V73:680
+    min_tile_points: int = 10        # V73:710
+    weight_optimizer: str = "lbfgsb"  # or "sweep" (TPU batched candidate sweep)
+    predict_block_rows: int = 256
+    svm_importance_sample: int = 200  # V73:564
+    use_pallas: bool | None = None
+
+
+@dataclasses.dataclass
+class LayerResult:
+    """Per-response output, the reference's omega[[i]] contract (V73:955)."""
+
+    name: str
+    final: Raster
+    residuals: np.ndarray           # (n, 3) residual, long, lat (V73:627/914)
+    var_imp: dict[str, Any]
+    summary: dict[str, Any]
+    n_layers: int
+    ensemble: Raster | None = None  # pre-correction ensemble surface
+    tps_surface: Raster | None = None
+    weights: WeightResult | None = None
+
+
+def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256):
+    """Stream model prediction over the grid in row blocks -> (H, W).
+
+    Replaces terra::predict(rast_stack, model) (V73:468/497/521/543/582/604).
+    Cells with any NaN covariate predict NaN.
+    """
+    c, h, w = rast_stack.data.shape
+    rows = []
+    fn = jax.jit(predict_fn)
+    for r0 in range(0, h, block_rows):
+        blk = rast_stack.data[:, r0 : r0 + block_rows, :]
+        x = jnp.moveaxis(blk, 0, -1).reshape(-1, c)
+        ok = jnp.all(jnp.isfinite(x), axis=1)
+        pred = fn(jnp.where(ok[:, None], x, 0.0))
+        pred = jnp.where(ok, pred, jnp.nan)
+        rows.append(pred.reshape(blk.shape[1], w))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _prepare_inputs(int_values, covar_ras: Raster):
+    """Part 0: stack assembly + station extraction (V73:123-195)."""
+    arr = np.asarray(int_values)
+    if arr.dtype.names:
+        names = list(arr.dtype.names)
+        cols = np.stack([arr[n] for n in names], axis=1).astype(np.float64)
+    else:
+        raise ValueError(
+            "int_values must be a structured array with named columns "
+            "(long, lat, <responses...>)"
+        )
+    if names[0].lower() not in ("long", "lon", "x") or names[1].lower() not in ("lat", "y"):
+        log.warning("first two columns expected to be long, lat; got %s", names[:2])
+    resp_names = names[2:]
+
+    rast_stack = stack([covar_ras, lonlat_rasters(covar_ras.grid, covar_ras.data.dtype)])
+    vals = np.asarray(extract(rast_stack, cols[:, 0], cols[:, 1]))  # (n, C+2)
+    full = np.concatenate([cols, vals], axis=1)
+    keep = np.all(np.isfinite(full), axis=1)
+    if keep.mean() < 0.75:
+        log.warning(
+            "Warning! %d points fell outside of input co-variate rasters (of %d "
+            "total input). Consider using co-variates that match the full extent "
+            "of the input data",
+            int((~keep).sum()), len(keep),
+        )
+    full = full[keep]
+    covar_names = list(rast_stack.names)
+    x = full[:, len(names):]                 # station covariates (incl LONG, LAT)
+    responses = {rn: full[:, 2 + i] for i, rn in enumerate(resp_names)}
+    coords = full[:, :2]
+    return rast_stack, covar_names, coords, x, responses
+
+
+_FINAL_FITTERS = {}
+
+
+def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
+    """Final-fit one algorithm on all rows; returns (predict_fn, var_imp).
+
+    predict_fn maps (m, p) covariates -> (m,) response (raster + stations)."""
+    if letter == "g":
+        state = gam.fit(None, x, y, **config.final_gam)
+        return (lambda q: gam.predict(state, q)), gam.importance(state, names)
+    if letter == "n":
+        y_np = np.asarray(y)
+        y_min = float(y_np.min())
+        y_max = float((y_np - y_min).max())
+        state = nn.fit(key, x, (y - y_min) / y_max, **config.final_nn)
+        imp = nn.importance(state, names)
+        return (lambda q: nn.predict(state, q) * y_max + y_min), imp
+    if letter == "m":
+        state = mars.fit(None, x, y, **config.final_mars)
+        imp = mars.importance(state, x, y, names)
+        return (lambda q: mars.predict(state, q)), imp
+    if letter == "v":
+        state = svm.fit(key, x, y, **config.final_svm)
+        imp = breakdown_importance(
+            lambda q: svm.predict(state, q), np.asarray(x), names,
+            n_sample=config.svm_importance_sample, seed=1313,
+        )
+        return (lambda q: svm.predict(state, q)), imp
+    if letter == "r":
+        state = rf.fit(key, x, y, **config.final_rf)
+        imp = rf.importance(state, x, y, names)
+        return (lambda q: rf.predict(state, q)), imp
+    if letter == "b":
+        res = gbm_step.fit(key, x, y, **config.final_brt)
+        imp = gbm_step.importance(res, names)
+        return (lambda q: gbm_step.predict(res, q)), imp
+    raise ValueError(letter)
+
+
+def _tps_tiles(grid: GridSpec, config: MLTPSConfig):
+    """The reference's auto-tiling plan: fit extents (+-20%) and mosaic
+    extents (+-2.5%) for ceil(n/1500)-per-axis blocks, row-major from the
+    bottom-left (V73:650-681)."""
+    n_rx = -(-grid.nrows // config.tps_tile_px)
+    n_cx = -(-grid.ncols // config.tps_tile_px)
+    xmin, xmax, ymin, ymax = grid.extent
+    long_d = (xmax - xmin) / n_cx
+    lat_d = (ymax - ymin) / n_rx
+    fo, mo = config.tps_fit_overlap, config.tps_mosaic_overlap
+    fit_exts, mosaic_exts = [], []
+    for j in range(1, n_rx + 1):
+        for h in range(1, n_cx + 1):
+            fit_exts.append((
+                xmin + long_d * (h - 1) - long_d * fo,
+                xmin + long_d * h + long_d * fo,
+                ymin + lat_d * (j - 1) - lat_d * fo,
+                ymin + lat_d * j + lat_d * fo,
+            ))
+            mosaic_exts.append((
+                xmin + long_d * (h - 1) - long_d * mo,
+                xmin + long_d * h + long_d * mo,
+                ymin + lat_d * (j - 1) - lat_d * mo,
+                ymin + lat_d * j + lat_d * mo,
+            ))
+    return n_rx, n_cx, fit_exts, mosaic_exts
+
+
+def _tps_error_surface(coords, res_final, rast_stack: Raster, config: MLTPSConfig):
+    """Part 3+4: tiled TPS of residuals, feathered into one surface."""
+    grid = rast_stack.grid
+    n_rx, n_cx, fit_exts, mosaic_exts = _tps_tiles(grid, config)
+    n_tiles = n_rx * n_cx
+    dtype = rast_stack.data.dtype
+
+    if n_tiles == 1:
+        model = tps_fit(jnp.asarray(coords, dtype), jnp.asarray(res_final, dtype))
+        surf = tps_predict_grid(model, grid, use_pallas=config.use_pallas)
+        return Raster(surf, grid), n_tiles
+
+    first_layer = rast_stack.band(0)
+    tiles = []
+    for h in range(n_tiles):
+        rb = crop(first_layer, fit_exts[h])
+        # stations inside the fit extent with a valid first covariate (V73:701-706)
+        vals = np.asarray(extract(rb, coords[:, 0], coords[:, 1]))
+        sel = np.isfinite(vals)
+        npts = int(sel.sum())
+        if npts < config.min_tile_points:
+            log.info("tile %d: %d points -> zero surface", h + 1, npts)
+            surf_tile = Raster(jnp.zeros(rb.grid.shape, dtype), rb.grid)
+        else:
+            model = tps_fit(
+                jnp.asarray(coords[sel], dtype), jnp.asarray(res_final[sel], dtype)
+            )
+            surf = tps_predict_grid(model, rb.grid, use_pallas=config.use_pallas)
+            surf_tile = Raster(surf, rb.grid)
+        tiles.append(crop(surf_tile, mosaic_exts[h]))
+    return feather_blend(tiles, n_rx, n_cx, grid), n_tiles
+
+
+def mltps(
+    int_values,
+    covar_ras: Raster,
+    tps: bool = True,
+    smooth_outputs_only: bool = False,
+    trouble: bool = False,
+    *,
+    key=None,
+    config: MLTPSConfig | None = None,
+) -> list[LayerResult]:
+    config = config or MLTPSConfig()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    rast_stack, covar_names, coords, x, responses = _prepare_inputs(int_values, covar_ras)
+    x = jnp.asarray(x, rast_stack.data.dtype)
+    letters_pool = SMOOTH_LETTERS if smooth_outputs_only else "bgnmrv"
+
+    results = []
+    for i, (name, y_np) in enumerate(responses.items()):
+        lkey = jax.random.fold_in(key, i)
+        y = jnp.asarray(y_np, x.dtype)
+        log.info("=== layer %s: part 1 — CV of %s ===", name, letters_pool)
+        cv_out = run_cv(lkey, x, y, config=config.cv, algorithms=letters_pool)
+        rmat = residual_matrix(cv_out, letters_pool)
+        if config.weight_optimizer == "sweep":
+            wres = optimize_weights_sweep(rmat, letters_pool)
+        else:
+            wres = optimize_weights_lbfgsb(rmat, letters_pool)
+        mods_run = "b" if trouble else wres.letters
+        log.info("kept: %s weights %s (%s%%)", mods_run, wres.kept_weights, wres.percent_text)
+
+        log.info("=== layer %s: part 2 — final fits ===", name)
+        pred_acc = None
+        res_acc = None
+        var_imp: dict[str, Any] = {}
+        kept = dict(zip(wres.letters, wres.kept_weights))
+        if trouble:
+            kept = {"b": 1.0}
+        for k_i, (letter, wgt) in enumerate(kept.items()):
+            fkey = jax.random.fold_in(lkey, 100 + k_i)
+            predict_fn, imp = _fit_final(letter, fkey, x, y, covar_names, config)
+            var_imp[LETTER_TO_NAME[letter]] = imp
+            surf = predict_over_stack(predict_fn, rast_stack, config.predict_block_rows)
+            pt_pred = predict_fn(x)
+            contrib_r = (y - pt_pred) * wgt
+            pred_acc = surf * wgt if pred_acc is None else pred_acc + surf * wgt
+            res_acc = contrib_r if res_acc is None else res_acc + contrib_r
+
+        total = wres.weight_total if not trouble else 1.0
+        pred_ensemble = pred_acc / total          # V73:619 quirk: unrounded total
+        res_final = np.asarray(res_acc) / total   # V73:620
+        tss = float(np.sum((y_np - y_np.mean()) ** 2))
+        rss_m = float(np.sum(res_final**2))
+        rsq_model = 1.0 - rss_m / tss
+        ens_raster = Raster(pred_ensemble, rast_stack.grid, (name,))
+
+        residuals_out = np.stack([res_final, coords[:, 0], coords[:, 1]], axis=1)
+        summary = {
+            "layer": name,
+            "best model(s):": mods_run,
+            "ensemble weights:": wres.percent_text,
+            "r2 ensemble:": rsq_model,
+        }
+
+        final_raster = ens_raster
+        tps_raster = None
+        if tps:
+            log.info("=== layer %s: part 3/4 — TPS error surface ===", name)
+            tps_raster, n_tiles = _tps_error_surface(coords, res_final, rast_stack, config)
+            log.info("TPS tiled across %d tile(s)", n_tiles)
+            summed = ens_raster.data + tps_raster.data
+            final_c = Raster(summed, rast_stack.grid, (name,))
+            f_at = np.asarray(extract(final_c, coords[:, 0], coords[:, 1]))
+            rss_final = float(np.nansum((y_np - f_at) ** 2))
+            rsq_final = 1.0 - rss_final / tss
+            summary["r2 final:"] = rsq_final
+            # keep the correction only if it improves R^2 (V73:925-930)
+            if rsq_final > rsq_model:
+                final_raster = final_c
+                residuals_out = np.stack(
+                    [y_np - f_at, coords[:, 0], coords[:, 1]], axis=1
+                )
+        results.append(
+            LayerResult(
+                name=name,
+                final=final_raster,
+                residuals=residuals_out,
+                var_imp=var_imp,
+                summary=summary,
+                n_layers=len(responses),
+                ensemble=ens_raster,
+                tps_surface=tps_raster,
+                weights=wres,
+            )
+        )
+    return results

@@ -1,0 +1,133 @@
+"""Ensemble layer tests: kfold semantics, weight objective + selection quirks
+(V73:220-429), CV driver residual collection."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from machisplin_tpu.ensemble import (
+    CVConfig,
+    ensemble_objective,
+    fold_masks,
+    kfold,
+    optimize_weights_lbfgsb,
+    optimize_weights_sweep,
+    residual_matrix,
+    run_cv,
+)
+
+
+def test_kfold_near_equal_groups():
+    f = np.asarray(kfold(jax.random.PRNGKey(0), 105, 10))
+    counts = np.bincount(f, minlength=10)
+    assert counts.sum() == 105
+    assert counts.max() - counts.min() <= 1
+
+
+def test_kfold_insufficient_records():
+    with pytest.raises(ValueError, match="insufficient"):
+        kfold(jax.random.PRNGKey(0), 5, 10)
+
+
+def test_kfold_stratified():
+    by = np.repeat([0, 1], 50)
+    f = np.asarray(kfold(jax.random.PRNGKey(0), 100, 5, by=by))
+    for g in (0, 1):
+        counts = np.bincount(f[by == g], minlength=5)
+        assert counts.max() - counts.min() <= 1
+
+
+def test_fold_masks_invert():
+    folds = jnp.asarray(np.arange(20) % 4)
+    train, test = fold_masks(folds, 4)
+    assert np.allclose(np.asarray(train + test), 1.0)
+    assert np.asarray(train).sum(axis=1)[0] == 15
+    train_i, test_i = fold_masks(folds, 4, invert=True)
+    assert np.asarray(train_i).sum(axis=1)[0] == 5  # >4000-row inversion rule
+
+
+def test_weight_objective_normalizes():
+    res = np.array([[1.0, 1.0], [-1.0, -1.0]])
+    # equal weights cancel the residuals entirely
+    val = float(ensemble_objective(jnp.asarray([0.5, 0.5]), jnp.asarray(res)))
+    assert val < 1e-12
+    # scaling all weights equally changes nothing
+    v1 = float(ensemble_objective(jnp.asarray([0.2, 0.6]), jnp.asarray(res)))
+    v2 = float(ensemble_objective(jnp.asarray([0.1, 0.3]), jnp.asarray(res)))
+    assert pytest.approx(v1) == v2
+
+
+def _toy_residuals(rng):
+    # algo 0 is accurate; algos 1, 2 carry independent large noise
+    n = 200
+    return np.stack([
+        0.05 * rng.standard_normal(n),
+        1.0 * rng.standard_normal(n),
+        1.0 * rng.standard_normal(n),
+    ])
+
+
+def test_lbfgsb_weights_prefer_good_algorithms(rng):
+    res = _toy_residuals(rng)
+    out = optimize_weights_lbfgsb(res, letters="bgr")
+    # weights are scale-free; what matters is the good algorithm's share
+    share = out.weights[0] / out.weights.sum()
+    assert share > 0.8
+    # b must be kept; selection uses round(w,2) > 0.05*total (V73:337-340)
+    assert "b" in out.letters
+    assert out.objective < float(ensemble_objective(jnp.ones(3) / 3, jnp.asarray(res)))
+
+
+def test_weights_anticorrelated_cancellation(rng):
+    """The reference's objective rewards residual cancellation — two biased,
+    anti-correlated algorithms can outweigh a single good one.  Pin that
+    behavior down so nobody 'fixes' it to naive accuracy weighting."""
+    n = 200
+    good = 0.05 * rng.standard_normal(n)
+    noise = rng.standard_normal(n)
+    res = np.stack([good, 2.0 + noise, -2.0 - noise])
+    out = optimize_weights_lbfgsb(res, letters="bgr")
+    mixed = float(ensemble_objective(jnp.asarray(out.weights), jnp.asarray(res)))
+    good_only = float(np.sum(good**2))
+    assert mixed <= good_only * 1.05
+
+
+def test_sweep_matches_lbfgsb_quality(rng):
+    res = _toy_residuals(rng)
+    a = optimize_weights_lbfgsb(res, letters="bgr")
+    b = optimize_weights_sweep(res, letters="bgr")
+    assert b.objective <= a.objective * 1.25
+
+
+def test_percent_text_format(rng):
+    res = _toy_residuals(rng)
+    out = optimize_weights_lbfgsb(res, letters="bgr")
+    if len(out.kept_weights) > 1:
+        parts = out.percent_text.split(":")
+        assert len(parts) == len(out.kept_weights)
+        assert pytest.approx(sum(float(p) for p in parts), abs=0.5) == 100.0
+
+
+SMALL_CV = CVConfig(
+    n_folds=4,
+    brt=dict(tree_complexity=3, learning_rate=0.1, step_size=20, max_trees=100),
+    rf=dict(ntree=20, tree_chunk=10),
+    nn=dict(hidden=5, maxit=80),
+)
+
+
+def test_run_cv_residual_shapes(rng):
+    n = 120
+    x = jnp.asarray(rng.uniform(0, 1, (n, 4)))
+    y = jnp.asarray(2 * np.asarray(x)[:, 0] + np.sin(5 * np.asarray(x)[:, 1]))
+    out = run_cv(jax.random.PRNGKey(0), x, y, config=SMALL_CV)
+    assert set(out) == set("bgnmrv")
+    for letter, res in out.items():
+        assert res.shape == (n,), letter          # fold-major concat, k-1/k split
+        assert np.isfinite(res).all(), letter
+    mat = residual_matrix(out)
+    assert mat.shape == (6, n)
+    # every algorithm beats the null model out-of-fold on this easy surface
+    tss = float(np.sum((np.asarray(y) - np.asarray(y).mean()) ** 2))
+    for letter, res in out.items():
+        assert np.sum(res**2) < tss, letter

@@ -1,0 +1,151 @@
+"""End-to-end pipeline tests: mltps on a small synthetic world + the tiling
+toolkit (reference workflows: README Example 1 and the tiles.create/merge
+large-landscape recipe, README.md:157-215)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import machisplin_tpu as mt
+from machisplin_tpu.ensemble import CVConfig
+from machisplin_tpu.grid import extract
+from machisplin_tpu.pipeline import MLTPSConfig, tiles_create, tiles_id, tiles_merge
+
+FAST = MLTPSConfig(
+    cv=CVConfig(
+        n_folds=4,
+        brt=dict(tree_complexity=3, learning_rate=0.1, step_size=20, max_trees=100),
+        rf=dict(ntree=20, tree_chunk=10),
+        nn=dict(hidden=5, maxit=80),
+    ),
+    final_brt=dict(tree_complexity=3, learning_rate=0.1, step_size=20, max_trees=100),
+    final_rf=dict(ntree=20, tree_chunk=10),
+    final_nn=dict(hidden=5, maxit=80),
+    use_pallas=False,
+    svm_importance_sample=40,
+)
+
+
+def make_world(rng, nrows=60, ncols=50, n=180, two_layers=False):
+    g = mt.GridSpec(nrows=nrows, ncols=ncols, xmin=-77.0, ymax=-6.0, dx=0.02, dy=0.02)
+    xs, ys = np.meshgrid(np.asarray(g.x_coords(jnp.float64)), np.asarray(g.y_coords(jnp.float64)))
+    alt = 1000 + 2500 * np.exp(-((xs + 76.5) ** 2 + (ys + 6.6) ** 2) / 0.08)
+    slope = np.abs(np.gradient(alt)[0])
+    stack = mt.Raster(jnp.asarray(np.stack([alt, slope])), g, ("alt", "slope"))
+    lon = rng.uniform(g.xmin + 0.01, g.xmax - 0.01, n)
+    lat = rng.uniform(g.ymin + 0.01, g.ymax - 0.01, n)
+    cov = np.asarray(extract(stack, lon, lat))
+    resp = 0.006 * cov[:, 0] - 10 * np.cos(4 * lon) + 5 * lat + 0.3 * rng.standard_normal(n)
+    if two_layers:
+        resp2 = 0.01 * cov[:, 1] + 20 * lat + 0.2 * rng.standard_normal(n)
+        dat = np.rec.fromarrays([lon, lat, resp, resp2], names="long,lat,bio_1,bio_12")
+    else:
+        dat = np.rec.fromarrays([lon, lat, resp], names="long,lat,bio_1")
+    return g, stack, dat, resp
+
+
+def test_mltps_end_to_end(rng):
+    g, stack, dat, resp = make_world(rng)
+    out = mt.mltps(dat, stack, tps=True, config=FAST)
+    assert len(out) == 1
+    r = out[0]
+    assert r.name == "bio_1"
+    assert r.final.grid.shape == g.shape
+    assert np.isfinite(np.asarray(r.final.data)).all()
+    assert r.summary["r2 ensemble:"] > 0.95
+    assert "r2 final:" in r.summary
+    # residual contract: (n, 3) residual, long, lat (V73:627/914)
+    assert r.residuals.shape == (len(dat), 3)
+    # importance present for every kept algorithm
+    kept = r.summary["best model(s):"]
+    assert len(r.var_imp) == len(kept)
+    # final raster reproduces the stations well
+    at = np.asarray(extract(r.final, dat["long"], dat["lat"]))
+    r2 = 1 - np.nansum((resp - at) ** 2) / np.sum((resp - resp.mean()) ** 2)
+    assert r2 > 0.95
+
+
+def test_mltps_keeps_better_surface(rng):
+    g, stack, dat, resp = make_world(rng)
+    out = mt.mltps(dat, stack, tps=True, config=FAST)
+    r = out[0]
+    if r.summary["r2 final:"] > r.summary["r2 ensemble:"]:
+        assert np.allclose(
+            np.asarray(r.final.data),
+            np.asarray(r.ensemble.data) + np.asarray(r.tps_surface.data),
+            atol=1e-5, equal_nan=True,
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(r.final.data), np.asarray(r.ensemble.data), equal_nan=True
+        )
+
+
+def test_mltps_no_tps(rng):
+    g, stack, dat, _ = make_world(rng, n=150)
+    out = mt.mltps(dat, stack, tps=False, config=FAST)
+    r = out[0]
+    assert "r2 final:" not in r.summary
+    np.testing.assert_allclose(
+        np.asarray(r.final.data), np.asarray(r.ensemble.data), equal_nan=True
+    )
+
+
+def test_mltps_trouble_flag(rng):
+    g, stack, dat, _ = make_world(rng, n=120)
+    out = mt.mltps(dat, stack, tps=False, trouble=True, config=FAST)
+    assert list(out[0].var_imp.keys()) == ["brt"]
+
+
+def test_mltps_smooth_outputs_only(rng):
+    g, stack, dat, _ = make_world(rng, n=120)
+    out = mt.mltps(dat, stack, tps=False, smooth_outputs_only=True, config=FAST)
+    kept = out[0].summary["best model(s):"]
+    assert set(kept) <= set("gnmv")  # BRT/RF excluded (V73:366-393)
+
+
+def test_mltps_multi_response(rng):
+    g, stack, dat, _ = make_world(rng, n=150, two_layers=True)
+    out = mt.mltps(dat, stack, tps=False, config=FAST)
+    assert [r.name for r in out] == ["bio_1", "bio_12"]
+    assert all(r.n_layers == 2 for r in out)
+
+
+def test_tiles_create_and_merge(rng):
+    g, stack, dat, _ = make_world(rng, nrows=64, ncols=64)
+    tiles = tiles_create(stack, dat, out_ncol=2, out_nrow=2, feather_d=8)
+    assert len(tiles.rast) == 4
+    assert tiles_id(tiles)[0]["id"] == 1
+    # tiles overlap by feather_d/2 pixels per side
+    t0 = tiles.rast[0].grid
+    assert t0.ncols == 32 + 4 and t0.nrows == 32 + 4
+    # per-tile stations fall inside the tile extent
+    for dsub, ext in zip(tiles.dat, tiles.extents):
+        if len(dsub):
+            assert dsub["long"].min() >= ext[0] and dsub["long"].max() <= ext[1]
+    # merge constant per-tile surfaces -> smooth blend, full coverage
+    finals = [
+        mt.Raster(jnp.full(t.grid.shape, float(i)), t.grid)
+        for i, t in enumerate(tiles.rast)
+    ]
+    merged = tiles_merge(finals, g, in_ncol=2, in_nrow=2)
+    arr = np.asarray(merged.data)
+    assert arr.shape == g.shape
+    assert np.isfinite(arr).all()
+    # rows away from the horizontal seam band cross only the vertical strip:
+    # increments there are ramp-sized (strip is 8 px wide for feather_d=8)
+    assert np.abs(np.diff(arr[:20], axis=1)).max() < 0.2
+    # everywhere, jumps stay below the raw 1.0 inter-tile difference
+    assert np.abs(np.diff(arr, axis=1)).max() < 1.0
+
+
+def test_mltps_writers_integration(tmp_path, rng):
+    g, stack, dat, _ = make_world(rng, n=120)
+    out = mt.mltps(dat, stack, tps=False, config=FAST)
+    paths = mt.write_geotiff(out, str(tmp_path), seed=1)
+    back = mt.read_geotiff([p for p in paths if p.endswith(".tif")][0])
+    np.testing.assert_allclose(
+        np.asarray(back.data), np.asarray(out[0].final.data, np.float32),
+        rtol=1e-6, equal_nan=True,
+    )
+    mt.write_residuals(out, str(tmp_path))
+    mt.write_loadings(out, str(tmp_path))
