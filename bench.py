@@ -21,14 +21,14 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from machisplin_tpu.grid import GridSpec
-    from machisplin_tpu.ops.tps import tps_factor, tps_solve, tps_predict_grid
+    from machisplin_tpu.ops.host_tps import tps_fit_host
+    from machisplin_tpu.ops.tps import tps_predict_grid
 
     data = np.genfromtxt("machisplin_tpu/data/sampling.csv", delimiter=",", names=True)
-    coords = jnp.asarray(np.stack([data["long"], data["lat"]], 1), jnp.float32)
-    ys = jnp.asarray(np.stack([data["bio_1"], data["bio_12"]], 1), jnp.float32)
+    coords = np.stack([data["long"], data["lat"]], 1)
+    ys = np.stack([data["bio_1"], data["bio_12"]], 1)
 
     # the reference grid geometry: 3264 cols x 2476 rows at ~90 m (alt.tfw)
     grid = GridSpec(
@@ -39,12 +39,11 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
-    @jax.jit
-    def solve(coords, ys):
-        return tps_solve(tps_factor(coords, None), ys, ngrid=128, refine=24)
-
     def run():
-        model = solve(coords, ys)
+        # production split: O(n^3) GCV factorisation on the host in f64
+        # (milliseconds at n=813; device QR/eigh compile cost is not worth
+        # paying here), knots-by-cells matvec on the TPU (Pallas kernel)
+        model = tps_fit_host(coords, ys)
         surf = tps_predict_grid(model, grid, use_pallas=on_tpu)
         return jax.block_until_ready(surf)
 

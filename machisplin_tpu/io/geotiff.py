@@ -219,6 +219,31 @@ def read_geotiff(path: str, band: int | None = None) -> Raster:
             return _lzw_decode(raw)
         raise NotImplementedError(f"TIFF compression {compression}")
 
+    # fast path: the C++ threaded decoder for strip layouts (native/)
+    if 322 not in tags and compression in (1, 5, 8, 32946):
+        try:
+            from .native import decode_chunks
+
+            rps = int(tags.get(278, [h])[0])
+            offs = np.asarray(tags[273], np.int64)
+            cnts = np.asarray(tags[279], np.int64)
+            row_bytes = w * spp * dtype.itemsize
+            sizes = np.asarray(
+                [min(rps, h - s * rps) * row_bytes for s in range(len(offs))], np.int64
+            )
+            oofs = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
+            blob = decode_chunks(
+                buf, offs, cnts, oofs, sizes, compression, predictor,
+                row_bytes, dtype.itemsize, int(sizes.sum()),
+            )
+            if blob is not None:
+                out = np.frombuffer(blob, dtype)[: h * w * spp].reshape(h, w, spp).copy()
+                if predictor == 2 and dtype.itemsize != 1:
+                    out = np.cumsum(out, axis=1, dtype=dtype)
+                return _finish_read(out, tags, h, w, spp, endian, band)
+        except Exception:  # pragma: no cover - fall back to pure Python
+            pass
+
     out = np.zeros((h, w, spp), dtype)
     if 322 in tags:  # tiled
         tw, th = int(tags[322][0]), int(tags[323][0])
@@ -244,6 +269,10 @@ def read_geotiff(path: str, band: int | None = None) -> Raster:
                 arr = np.cumsum(arr, axis=1, dtype=dtype)
             out[r0 : r0 + rows] = arr
 
+    return _finish_read(out, tags, h, w, spp, endian, band)
+
+
+def _finish_read(out, tags, h, w, spp, endian, band):
     data = np.moveaxis(out, -1, 0).astype(np.float32)
     nodata = tags.get(42113)
     if nodata is not None:

@@ -1,3 +1,5 @@
+from .host_tps import tps_fit_host
+from .nystrom import nystrom_tps_fit, select_landmarks
 from .tps import (
     TPSFactor,
     TPSModel,
@@ -10,6 +12,9 @@ from .tps import (
 )
 
 __all__ = [
+    "tps_fit_host",
+    "nystrom_tps_fit",
+    "select_landmarks",
     "TPSFactor",
     "TPSModel",
     "gcv_curve",

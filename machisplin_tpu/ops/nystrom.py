@@ -1,0 +1,175 @@
+"""Low-rank (Nystrom / reduced-basis) thin-plate splines for large n.
+
+fields::Tps is dense O(n^3); the reference never runs more than ~800 knots at
+once and tiles everything larger (V73:650-681).  For the continental-scale
+configs (BASELINE.json configs 4-5: 50k-500k stations), this module fits the
+penalised reduced-basis spline
+
+    f(x) = sum_j c_j phi(|x - z_j|) + d . [1, x, y]
+    min  |y - K_nz c - T d|^2  +  lam * c' K_zz c
+
+with m << n landmark knots z_j (uniform subsample or a few k-means sweeps).
+GCV over lam costs ONE (m+3) eigendecomposition of the whitened penalty
+(Cholesky of B'B, eigh of R^-T P R^-1): RSS(lam) and the effective df
+tr((I + lam M)^-1) are then closed-form in the eigenvalues, vectorised over a
+lambda grid — the same Demmler-Reinsch trick as ops/tps.py at rank m.
+
+Cross-products K_nz' K_nz stream over the stations in chunks (MXU matmuls),
+so HBM holds O(n_chunk * m), never n x n.  Prediction reuses the Pallas grid
+kernel with the landmarks as knots.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tps import TPSModel, _pairwise_r2, _phi
+
+__all__ = ["select_landmarks", "nystrom_tps_fit"]
+
+
+def select_landmarks(key, coords, m: int, kmeans_iters: int = 5):
+    """m landmark points: random subsample refined by a few k-means sweeps."""
+    n = coords.shape[0]
+    idx = jax.random.choice(key, n, (min(m, n),), replace=False)
+    centers = coords[idx]
+
+    def sweep(centers, _):
+        d2 = _pairwise_r2(coords, centers)                 # (n, m)
+        assign = jnp.argmin(d2, axis=1)
+        one_hot = (assign[:, None] == jnp.arange(centers.shape[0])[None, :]).astype(
+            coords.dtype
+        )
+        counts = jnp.maximum(one_hot.sum(axis=0), 1.0)
+        new = (one_hot.T @ coords) / counts[:, None]
+        # keep empty clusters where they were
+        new = jnp.where((one_hot.sum(axis=0) > 0)[:, None], new, centers)
+        return new, None
+
+    if kmeans_iters > 0 and n > m:
+        centers, _ = jax.lax.scan(sweep, centers, None, length=kmeans_iters)
+    return centers
+
+
+def nystrom_tps_fit(
+    coords,
+    y,
+    landmarks=None,
+    m: int = 2048,
+    lam=None,
+    key=None,
+    chunk: int = 65536,
+    ngrid: int = 128,
+    ridge: float | None = None,
+) -> TPSModel:
+    """Fit the reduced-basis smoothing spline; returns a TPSModel whose knots
+    are the (range-scaled) landmarks, so every TPS prediction path applies.
+
+    y may be (n,) or (n, R); lambda is GCV-selected per response when None.
+    """
+    coords = jnp.asarray(coords)
+    y = jnp.asarray(y)
+    single = y.ndim == 1
+    ycols = y[:, None] if single else y
+    n, n_resp = ycols.shape
+    dtype = coords.dtype
+    if ridge is None:
+        # f32 Cholesky of the whitened normal equations needs a firmer ridge
+        ridge = max(100.0 * float(jnp.finfo(dtype).eps), 1e-8)
+
+    cmin = jnp.min(coords, axis=0)
+    crange = jnp.maximum(jnp.max(coords, axis=0) - cmin, 1e-30)
+    xs = (coords - cmin) / crange
+
+    if landmarks is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        z = select_landmarks(key, xs, m)
+    else:
+        z = (jnp.asarray(landmarks) - cmin) / crange
+    m_eff = z.shape[0]
+
+    kzz = _phi(_pairwise_r2(z, z), dtype)
+
+    # streamed cross-products: G = B'B, bty = B'y with B = [T, K_nz]
+    p_dim = 3 + m_eff
+
+    def chunk_stats(carry, start):
+        g, bty, yy = carry
+        xi = jax.lax.dynamic_slice(xs, (start, 0), (chunk, 2))
+        yi = jax.lax.dynamic_slice(ycols, (start, 0), (chunk, n_resp))
+        valid = (start + jnp.arange(chunk) < n)[:, None].astype(dtype)
+        xi = xi * valid + 0.5 * (1 - valid)
+        yi = yi * valid
+        k_i = _phi(_pairwise_r2(xi, z), dtype) * valid
+        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * valid
+        b_i = jnp.concatenate([t_i, k_i], axis=1)          # (chunk, 3+m)
+        g = g + b_i.T @ b_i
+        bty = bty + b_i.T @ yi
+        yy = yy + jnp.sum(yi * yi, axis=0)
+        return (g, bty, yy), None
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xs_p = jnp.pad(xs, ((0, pad), (0, 0)), constant_values=0.5)
+    y_p = jnp.pad(ycols, ((0, pad), (0, 0)))
+    xs, ycols = xs_p, y_p
+
+    init = (
+        jnp.zeros((p_dim, p_dim), dtype),
+        jnp.zeros((p_dim, n_resp), dtype),
+        jnp.zeros((n_resp,), dtype),
+    )
+    starts = jnp.arange(n_chunks) * chunk
+    (g, bty, yy), _ = jax.lax.scan(chunk_stats, init, starts)
+
+    # whiten: G = R'R (ridge keeps the Cholesky honest at scale)
+    scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-30))
+    gn = g / jnp.outer(scale, scale) + ridge * jnp.eye(p_dim, dtype=dtype)
+    r = jnp.linalg.cholesky(gn, upper=True)
+    # penalty P = blockdiag(0_3, K_zz) in the scaled basis
+    pen = jnp.zeros((p_dim, p_dim), dtype).at[3:, 3:].set(
+        kzz / jnp.outer(scale[3:], scale[3:])
+    )
+    rinv_t = jax.scipy.linalg.solve_triangular(r, jnp.eye(p_dim, dtype=dtype), trans="T", lower=False)
+    mmat = rinv_t @ pen @ rinv_t.T
+    evals, u = jnp.linalg.eigh(0.5 * (mmat + mmat.T))
+    evals = jnp.maximum(evals, 0.0)
+
+    un = bty / scale[:, None]
+    uu = u.T @ jax.scipy.linalg.solve_triangular(r, un, trans="T", lower=False)  # (p, R)
+
+    if lam is None:
+        grid = jnp.logspace(-10, 6, ngrid, dtype=dtype)        # (G,)
+        s = 1.0 / (1.0 + grid[:, None, None] * evals[None, :, None])  # (G, p, R)
+        fit_term = jnp.sum(uu[None] ** 2 * s * (2.0 - s), axis=1)     # (G, R)
+        rss = jnp.maximum(yy[None, :] - fit_term, 0.0)
+        df = jnp.sum(s, axis=1)                                        # (G, 1->R)
+        gcv = n * rss / jnp.maximum(n - df, 1.0) ** 2
+        lam_sel = grid[jnp.argmin(gcv, axis=0)]                        # (R,)
+        gcv_min = jnp.min(gcv, axis=0)
+    else:
+        lam_sel = jnp.broadcast_to(jnp.asarray(lam, dtype), (n_resp,))
+        s = 1.0 / (1.0 + lam_sel[None, :] * evals[:, None])
+        fit_term = jnp.sum(uu**2 * s * (2.0 - s), axis=0)
+        gcv_min = n * jnp.maximum(yy - fit_term, 0.0) / jnp.maximum(
+            n - jnp.sum(s, axis=0), 1.0
+        ) ** 2
+
+    s = 1.0 / (1.0 + lam_sel[None, :] * evals[:, None])        # (p, R)
+    gamma = u @ (s * uu)                                       # (p, R)
+    beta = jax.scipy.linalg.solve_triangular(r, gamma, lower=False) / scale[:, None]
+    d = beta[:3]
+    c = beta[3:]
+
+    fitted = jnp.zeros_like(ycols)  # not materialised for huge n; compute lazily
+    residuals = jnp.zeros_like(ycols)
+    eff_df = jnp.sum(s, axis=0)
+    if single:
+        c, d = c[:, 0], d[:, 0]
+        lam_sel, gcv_min, eff_df = lam_sel[0], gcv_min[0], eff_df[0]
+        fitted, residuals = fitted[:, 0], residuals[:, 0]
+    return TPSModel(
+        knots=z, c=c, d=d, shift=cmin, scale=crange,
+        lam=lam_sel, gcv=gcv_min, fitted=fitted, residuals=residuals, eff_df=eff_df,
+    )

@@ -7,9 +7,13 @@ squared distances come from one MXU matmul, phi(r) = 0.5 r^2 log r^2 runs on
 the VPU, and the phi @ c contraction is a second MXU matmul.  HBM traffic is
 exactly the output surface plus the (tiny) knot/coefficient tables.
 
-Block shape is (8, 128) cells x a knot chunk of 512, sized so phi chunks stay
-well under VMEM.  Responses are batched in the trailing matmul dimension, so
-multi-response models (shared knots) cost one pass.
+Layout discipline (Mosaic rejects shape casts inside kernels): the grid is
+processed as FLAT cell blocks of 1024 — row/col are recovered from the flat
+index with an integer div/mod — and the output is written as (cells, R),
+reshaped to (H, W, R) outside the kernel where it is free.  The cell basis
+matrix A = [x, y, 1, 0...] is built at (1024, 8) so the A @ B distance matmul
+is natively MXU-aligned.  Responses batch in the trailing matmul dimension,
+so multi-response models (shared knots) cost one pass.
 """
 from __future__ import annotations
 
@@ -24,8 +28,7 @@ from ..grid import GridSpec
 
 __all__ = ["tps_grid_pallas"]
 
-_BLOCK_R = 8
-_BLOCK_C = 128
+_BLOCK = 1024
 _KNOT_CHUNK = 512
 
 
@@ -33,42 +36,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks):
-    """One (8, 128)-cell block: phi-matvec against all knot chunks.
+def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
+    """One 1024-cell block: phi-matvec against all knot chunks.
 
-    bmat: (3, n_pad)  rows [-2*kx, -2*ky, |k|^2] in scaled coords
-    c:    (n_pad, R)  radial coefficients (0 at padding)
-    d:    (8, R)      polynomial coefficients [1, x, y] padded to sublane 8
-    out:  (R, 8, 128) surface block
+    bmat: (8, n_pad)   rows [-2*kx, -2*ky, |k|^2, 0...] in scaled coords
+    c:    (n_pad, R)   radial coefficients (0 at padding)
+    d:    (8, R)       polynomial coefficients [x, y, 1, 0...] ordering
+    out:  (1024, R)    flat surface block
     """
     xmin, dx, ymax, dy, sx0, sx1, sy0, sy1 = geom
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, _BLOCK_C), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, _BLOCK_C), 1).astype(jnp.float32)
-    gx = xmin + (j * _BLOCK_C + cols + 0.5) * dx
-    gy = ymax - (i * _BLOCK_R + rows + 0.5) * dy
-    px = ((gx - sx0) / sx1).reshape(_BLOCK_R * _BLOCK_C, 1)
-    py = ((gy - sy0) / sy1).reshape(_BLOCK_R * _BLOCK_C, 1)
+    flat = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
+    row = flat // ncols
+    col = flat - row * ncols
+    gx = xmin + (col.astype(jnp.float32) + 0.5) * dx
+    gy = ymax - (row.astype(jnp.float32) + 0.5) * dy
+    px = (gx - sx0) / sx1                                  # (1024, 1)
+    py = (gy - sy0) / sy1
     ones = jnp.ones_like(px)
-    a = jnp.concatenate([px, py, ones], axis=1)          # (1024, 3)
-    p2 = px * px + py * py                               # (1024, 1)
+    zeros = jnp.zeros_like(px)
+    # (1024, 8): [x, y, 1, 0, 0, 0, 0, 0] — MXU-aligned contraction dim
+    a = jnp.concatenate([px, py, ones, zeros, zeros, zeros, zeros, zeros], axis=1)
+    p2 = px * px + py * py                                 # (1024, 1)
 
-    n_resp = out_ref.shape[0]
-    acc = jnp.zeros((_BLOCK_R * _BLOCK_C, n_resp), jnp.float32)
+    n_resp = out_ref.shape[1]
+    acc = jnp.zeros((_BLOCK, n_resp), jnp.float32)
 
     def chunk_body(k, acc):
-        b = bmat_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]        # (3, 512)
-        r2 = jnp.dot(a, b, preferred_element_type=jnp.float32) + p2  # (1024, 512)
+        b = bmat_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]          # (8, 512)
+        r2 = jnp.dot(a, b, preferred_element_type=jnp.float32) + p2   # (1024, 512)
         r2 = jnp.maximum(r2, 0.0)
         safe = jnp.maximum(r2, jnp.finfo(jnp.float32).tiny)
         phi = jnp.where(r2 > 0, 0.5 * r2 * jnp.log(safe), 0.0)
-        cc = c_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]           # (512, R)
+        cc = c_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]            # (512, R)
         return acc + jnp.dot(phi, cc, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-    acc = acc + jnp.dot(a, d_ref[:3, :], preferred_element_type=jnp.float32)
-    out_ref[:] = acc.T.reshape(n_resp, _BLOCK_R, _BLOCK_C)
+    out_ref[:] = acc + jnp.dot(a, d_ref[:], preferred_element_type=jnp.float32)
 
 
 def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
@@ -76,7 +80,7 @@ def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
 
     Returns (H, W) for a single-response model, (H, W, R) for multi-response.
     ``block_rows`` is accepted for API parity with the jnp path; the kernel
-    tiles internally at (8, 128).
+    tiles internally at 1024 flat cells.
     """
     del block_rows
     c = model.c
@@ -90,38 +94,39 @@ def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
     kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
     ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
     bmat = jnp.stack([-2.0 * kx, -2.0 * ky, kx * kx + ky * ky])      # (3, n_pad)
+    bmat = jnp.pad(bmat, ((0, 8 - 3), (0, 0)))                       # (8, n_pad)
     ccols = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))                 # zero coef => no effect
-    # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1]
+    # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1, 0...]
     dcols = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
     dpad = jnp.pad(dcols, ((0, 8 - 3), (0, 0)))
 
-    h_pad = _round_up(grid.nrows, _BLOCK_R)
-    w_pad = _round_up(grid.ncols, _BLOCK_C)
+    n_cells = grid.nrows * grid.ncols
+    cells_pad = _round_up(n_cells, _BLOCK)
     geom = (
         float(grid.xmin), float(grid.dx), float(grid.ymax), float(grid.dy),
         float(model.shift[0]), float(model.scale[0]),
         float(model.shift[1]), float(model.scale[1]),
     )
-    kernel = functools.partial(_kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK)
+    kernel = functools.partial(
+        _kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK, ncols=grid.ncols
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(h_pad // _BLOCK_R, w_pad // _BLOCK_C),
+        grid=(cells_pad // _BLOCK,),
         in_specs=[
-            pl.BlockSpec((3, n_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, n_resp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_resp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (n_resp, _BLOCK_R, _BLOCK_C), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_resp, h_pad, w_pad), jnp.float32),
+        out_specs=pl.BlockSpec((_BLOCK, n_resp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cells_pad, n_resp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * h_pad * w_pad * n_pad * (3 + n_resp),
-            bytes_accessed=4 * h_pad * w_pad * n_resp,
-            transcendentals=h_pad * w_pad * n_pad,
+            flops=2 * cells_pad * n_pad * (8 + n_resp),
+            bytes_accessed=4 * cells_pad * n_resp,
+            transcendentals=cells_pad * n_pad,
         ),
     )(bmat, ccols, dpad)
-    out = out[:, : grid.nrows, : grid.ncols]
+    out = out[:n_cells].reshape(grid.nrows, grid.ncols, n_resp)
     if dtype is not None:
         out = out.astype(dtype)
-    return out[0] if single else jnp.moveaxis(out, 0, -1)
+    return out[..., 0] if single else out

@@ -251,7 +251,27 @@ def mltps(
     *,
     key=None,
     config: MLTPSConfig | None = None,
+    log_file: str | None = None,
+    timer=None,
 ) -> list[LayerResult]:
+    """Main entry point; see module docstring.
+
+    ``log_file`` tees progress to a run log (the reference's
+    MachiSplin.LOG.txt sink, V73:200); ``timer`` is an optional
+    utils.PhaseTimer collecting structured per-phase durations.
+    """
+    if log_file is not None:
+        from ..utils.logging import run_log
+
+        with run_log(log_file):
+            return mltps(
+                int_values, covar_ras, tps, smooth_outputs_only, trouble,
+                key=key, config=config, log_file=None, timer=timer,
+            )
+    if timer is None:
+        from ..utils.timing import PhaseTimer
+
+        timer = PhaseTimer()
     config = config or MLTPSConfig()
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -264,7 +284,8 @@ def mltps(
         lkey = jax.random.fold_in(key, i)
         y = jnp.asarray(y_np, x.dtype)
         log.info("=== layer %s: part 1 — CV of %s ===", name, letters_pool)
-        cv_out = run_cv(lkey, x, y, config=config.cv, algorithms=letters_pool)
+        with timer.phase(f"{name}/cv"):
+            cv_out = run_cv(lkey, x, y, config=config.cv, algorithms=letters_pool)
         rmat = residual_matrix(cv_out, letters_pool)
         if config.weight_optimizer == "sweep":
             wres = optimize_weights_sweep(rmat, letters_pool)
@@ -282,9 +303,11 @@ def mltps(
             kept = {"b": 1.0}
         for k_i, (letter, wgt) in enumerate(kept.items()):
             fkey = jax.random.fold_in(lkey, 100 + k_i)
-            predict_fn, imp = _fit_final(letter, fkey, x, y, covar_names, config)
+            with timer.phase(f"{name}/final_fit_{letter}"):
+                predict_fn, imp = _fit_final(letter, fkey, x, y, covar_names, config)
             var_imp[LETTER_TO_NAME[letter]] = imp
-            surf = predict_over_stack(predict_fn, rast_stack, config.predict_block_rows)
+            with timer.phase(f"{name}/raster_predict_{letter}"):
+                surf = predict_over_stack(predict_fn, rast_stack, config.predict_block_rows)
             pt_pred = predict_fn(x)
             contrib_r = (y - pt_pred) * wgt
             pred_acc = surf * wgt if pred_acc is None else pred_acc + surf * wgt
@@ -310,7 +333,8 @@ def mltps(
         tps_raster = None
         if tps:
             log.info("=== layer %s: part 3/4 — TPS error surface ===", name)
-            tps_raster, n_tiles = _tps_error_surface(coords, res_final, rast_stack, config)
+            with timer.phase(f"{name}/tps"):
+                tps_raster, n_tiles = _tps_error_surface(coords, res_final, rast_stack, config)
             log.info("TPS tiled across %d tile(s)", n_tiles)
             summed = ens_raster.data + tps_raster.data
             final_c = Raster(summed, rast_stack.grid, (name,))
@@ -324,6 +348,7 @@ def mltps(
                 residuals_out = np.stack(
                     [y_np - f_at, coords[:, 0], coords[:, 1]], axis=1
                 )
+        log.info("timing so far:\n%s", timer.report())
         results.append(
             LayerResult(
                 name=name,

@@ -1,0 +1,69 @@
+"""Low-rank TPS tests: agreement with the dense solver at moderate n,
+scaling behavior, landmark selection (BASELINE.json configs 4-5 path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from machisplin_tpu.ops.nystrom import nystrom_tps_fit, select_landmarks
+from machisplin_tpu.ops.tps import tps_fit, tps_predict
+
+
+def test_landmarks_cover_domain(rng):
+    pts = jnp.asarray(rng.uniform(0, 1, (2000, 2)))
+    z = np.asarray(select_landmarks(jax.random.PRNGKey(0), pts, 64))
+    assert z.shape == (64, 2)
+    assert z.min() > -0.05 and z.max() < 1.05
+    # k-means spreads the landmarks: nearest-landmark distance is small
+    d = np.sqrt(((np.asarray(pts)[:, None] - z[None]) ** 2).sum(-1)).min(1)
+    assert d.max() < 0.25
+
+
+def test_nystrom_matches_dense_when_landmarks_are_knots(rng):
+    """With landmarks == all knots the reduced basis spans the full spline
+    space, so predictions should track the dense GCV fit closely."""
+    n = 300
+    pts = rng.uniform(0, 1, (n, 2))
+    pts[0] = (0, 0)
+    pts[1] = (1, 1)
+    truth = np.sin(4 * pts[:, 0]) * np.cos(3 * pts[:, 1])
+    y = truth + 0.05 * rng.standard_normal(n)
+
+    dense = tps_fit(jnp.asarray(pts), jnp.asarray(y))
+    low = nystrom_tps_fit(jnp.asarray(pts), jnp.asarray(y), landmarks=jnp.asarray(pts), chunk=128)
+    test_pts = rng.uniform(0.05, 0.95, (300, 2))
+    p_dense = np.asarray(tps_predict(dense, test_pts))
+    p_low = np.asarray(tps_predict(low, test_pts))
+    t = np.sin(4 * test_pts[:, 0]) * np.cos(3 * test_pts[:, 1])
+    # both recover the truth about equally well
+    err_d = np.mean((p_dense - t) ** 2)
+    err_l = np.mean((p_low - t) ** 2)
+    assert err_l < max(2.5 * err_d, 5e-3)
+
+
+def test_nystrom_large_n_small_m(rng):
+    n = 20000
+    pts = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    truth = np.sin(4 * pts[:, 0]) * np.cos(3 * pts[:, 1])
+    y = (truth + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    model = nystrom_tps_fit(
+        jnp.asarray(pts), jnp.asarray(y), m=256, key=jax.random.PRNGKey(1), chunk=4096
+    )
+    test_pts = rng.uniform(0.05, 0.95, (500, 2)).astype(np.float32)
+    pred = np.asarray(tps_predict(model, test_pts))
+    t = np.sin(4 * test_pts[:, 0]) * np.cos(3 * test_pts[:, 1])
+    r2 = 1 - np.mean((pred - t) ** 2) / np.var(t)
+    assert r2 > 0.98
+    assert model.knots.shape[0] == 256
+
+
+def test_nystrom_multi_response(rng):
+    n = 2000
+    pts = rng.uniform(0, 1, (n, 2))
+    ys = np.stack(
+        [np.sin(3 * pts[:, 0]) + 0.05 * rng.standard_normal(n) for _ in range(2)], axis=1
+    )
+    model = nystrom_tps_fit(jnp.asarray(pts), jnp.asarray(ys), m=128, key=jax.random.PRNGKey(2), chunk=512)
+    pred = np.asarray(tps_predict(model, pts[:100]))
+    assert pred.shape == (100, 2)
+    assert np.isfinite(pred).all()
+    assert model.lam.shape == (2,)

@@ -159,3 +159,19 @@ def test_fit_is_jittable(rng):
     fit = jax.jit(lambda p, v: tps_fit(p, v, lam=1e-4))
     model = fit(pts, y)
     assert np.isfinite(np.asarray(model.c)).all()
+
+
+def test_host_solver_matches_device(rng):
+    from machisplin_tpu.ops.host_tps import tps_fit_host
+
+    pts = make_points(rng, n=80)
+    y = np.sin(3 * pts[:, 0]) + 0.1 * rng.standard_normal(80)
+    dev = tps_fit(jnp.asarray(pts), jnp.asarray(y))
+    host = tps_fit_host(pts, y)
+    np.testing.assert_allclose(float(host.lam), float(dev.lam), rtol=1e-3)
+    test_pts = rng.uniform(0.1, 0.9, size=(50, 2))
+    np.testing.assert_allclose(
+        np.asarray(tps_predict(host, test_pts)),
+        np.asarray(tps_predict(dev, test_pts)),
+        rtol=1e-5, atol=1e-7,
+    )
