@@ -39,13 +39,17 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
+    import jax.numpy as jnp
+
     def run():
         # production split: O(n^3) GCV factorisation on the host in f64
         # (milliseconds at n=813; device QR/eigh compile cost is not worth
-        # paying here), knots-by-cells matvec on the TPU (Pallas kernel)
+        # paying here), knots-by-cells matvec on the TPU (Pallas kernel).
+        # A scalar readback forces completion — block_until_ready is not
+        # reliable on the axon tunnel backend.
         model = tps_fit_host(coords, ys)
         surf = tps_predict_grid(model, grid, use_pallas=on_tpu)
-        return jax.block_until_ready(surf)
+        return float(jnp.nansum(surf))
 
     t0 = time.perf_counter()
     run()  # warm-up / compile

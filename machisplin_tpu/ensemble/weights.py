@@ -98,6 +98,38 @@ def optimize_weights_lbfgsb(residuals, letters: Sequence[str] = LETTER_ORDER) ->
     return _select(out.x, letters, out.fun)
 
 
+def optimize_weights_aicc(residuals, letters: Sequence[str] = LETTER_ORDER) -> WeightResult:
+    """Historical V18 selection: enumerate every equal-weight subset of the
+    algorithms and pick minimum AICc with parameter count = ensemble size
+    (old/...V18.R:285-291, 360-366 — the design the V73 docstring still
+    advertises, V73:8).  Exposed for parity/archaeology; the default path is
+    the V73 continuous-weight search.
+
+    All 2^A - 1 subsets are scored in ONE batched matmul — the TPU-shaped
+    version of V18's loop."""
+    res = jnp.asarray(residuals)
+    a, n = res.shape
+    masks = ((jnp.arange(1, 2**a)[:, None] >> jnp.arange(a)[None, :]) & 1).astype(res.dtype)
+    rss = ensemble_objective(masks, res)                    # equal weights = mask/k
+    k = jnp.sum(masks, axis=1)
+    aicc = n * jnp.log(jnp.maximum(rss / n, 1e-300)) + 2 * k + (
+        2 * k * (k + 1) / jnp.maximum(n - k - 1, 1.0)
+    )
+    best = masks[jnp.argmin(aicc)]
+    weights = np.asarray(best, np.float64)
+    kept = [letters[i] for i in range(a) if weights[i] > 0]
+    kw = weights[weights > 0]
+    pct = [f"{np.round(100.0 / len(kw), 1)}" for _ in kw]
+    return WeightResult(
+        weights=weights,
+        letters="".join(kept),
+        kept_weights=kw,
+        weight_total=float(weights.sum()),
+        percent_text=":".join(pct) if len(pct) > 1 else "none",
+        objective=float(rss[jnp.argmin(aicc)]),
+    )
+
+
 def optimize_weights_sweep(
     residuals,
     letters: Sequence[str] = LETTER_ORDER,

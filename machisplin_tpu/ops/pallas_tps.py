@@ -36,15 +36,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
+def _kernel(geo_ref, bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
     """One 1024-cell block: phi-matvec against all knot chunks.
 
+    geo:  (4, 1) SMEM  coordinate shift/scale [sx0, sx1, sy0, sy1]
     bmat: (8, n_pad)   rows [-2*kx, -2*ky, |k|^2, 0...] in scaled coords
     c:    (n_pad, R)   radial coefficients (0 at padding)
     d:    (8, R)       polynomial coefficients [x, y, 1, 0...] ordering
     out:  (1024, R)    flat surface block
     """
-    xmin, dx, ymax, dy, sx0, sx1, sy0, sy1 = geom
+    xmin, dx, ymax, dy = geom
+    sx0, sx1, sy0, sy1 = geo_ref[0, 0], geo_ref[1, 0], geo_ref[2, 0], geo_ref[3, 0]
     i = pl.program_id(0)
     flat = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
     row = flat // ncols
@@ -75,6 +77,59 @@ def _kernel(bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
     out_ref[:] = acc + jnp.dot(a, d_ref[:], preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
+    """One jitted program per (grid geometry, knot count, response count):
+    padding, table construction, and the pallas_call all trace once.  Under
+    the axon remote-compile tunnel every *eager* op costs a compile round
+    trip, so the whole path must live in a single jit.  The coordinate
+    shift/scale enter through SMEM so one compile serves every model."""
+    n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
+    n_cells = grid.nrows * grid.ncols
+    cells_pad = _round_up(n_cells, _BLOCK)
+
+    def run(knots, ccols, dcols, shift, scale):
+        geo = jnp.stack([shift[0], scale[0], shift[1], scale[1]]).astype(
+            jnp.float32
+        )[:, None]
+        knots = knots.astype(jnp.float32)
+        ccols = ccols.astype(jnp.float32)
+        dcols = dcols.astype(jnp.float32)
+        kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
+        ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
+        bmat = jnp.stack([-2.0 * kx, -2.0 * ky, kx * kx + ky * ky])  # (3, n_pad)
+        bmat = jnp.pad(bmat, ((0, 8 - 3), (0, 0)))                   # (8, n_pad)
+        cpad = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))              # zero coef => no-op
+        # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1, 0...]
+        dperm = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
+        dpad = jnp.pad(dperm, ((0, 8 - 3), (0, 0)))
+
+        geom = (grid.xmin, grid.dx, grid.ymax, grid.dy)
+        kernel = functools.partial(
+            _kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK, ncols=grid.ncols
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(cells_pad // _BLOCK,),
+            in_specs=[
+                pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BLOCK, n_resp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cells_pad, n_resp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * cells_pad * n_pad * (8 + n_resp),
+                bytes_accessed=4 * cells_pad * n_resp,
+                transcendentals=cells_pad * n_pad,
+            ),
+        )(geo, bmat, cpad, dpad)
+        return out[:n_cells].reshape(grid.nrows, grid.ncols, n_resp)
+
+    return jax.jit(run)
+
+
 def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
     """Evaluate a TPSModel at every cell of ``grid`` on TPU.
 
@@ -85,48 +140,11 @@ def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
     del block_rows
     c = model.c
     single = c.ndim == 1
-    ccols = (c[:, None] if single else c).astype(jnp.float32)
-    dcols = (model.d[:, None] if single else model.d).astype(jnp.float32)
+    ccols = c[:, None] if single else c
+    dcols = model.d[:, None] if single else model.d
     n, n_resp = ccols.shape
-
-    n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
-    knots = model.knots.astype(jnp.float32)
-    kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
-    ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
-    bmat = jnp.stack([-2.0 * kx, -2.0 * ky, kx * kx + ky * ky])      # (3, n_pad)
-    bmat = jnp.pad(bmat, ((0, 8 - 3), (0, 0)))                       # (8, n_pad)
-    ccols = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))                 # zero coef => no effect
-    # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1, 0...]
-    dcols = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
-    dpad = jnp.pad(dcols, ((0, 8 - 3), (0, 0)))
-
-    n_cells = grid.nrows * grid.ncols
-    cells_pad = _round_up(n_cells, _BLOCK)
-    geom = (
-        float(grid.xmin), float(grid.dx), float(grid.ymax), float(grid.dy),
-        float(model.shift[0]), float(model.scale[0]),
-        float(model.shift[1]), float(model.scale[1]),
-    )
-    kernel = functools.partial(
-        _kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK, ncols=grid.ncols
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(cells_pad // _BLOCK,),
-        in_specs=[
-            pl.BlockSpec((8, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_BLOCK, n_resp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cells_pad, n_resp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * cells_pad * n_pad * (8 + n_resp),
-            bytes_accessed=4 * cells_pad * n_resp,
-            transcendentals=cells_pad * n_pad,
-        ),
-    )(bmat, ccols, dpad)
-    out = out[:n_cells].reshape(grid.nrows, grid.ncols, n_resp)
+    fn = _compiled_grid_eval(grid, n, n_resp)
+    out = fn(model.knots, ccols, dcols, model.shift, model.scale)
     if dtype is not None:
         out = out.astype(dtype)
     return out[..., 0] if single else out

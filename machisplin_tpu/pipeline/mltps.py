@@ -68,6 +68,8 @@ class MLTPSConfig:
     tps_fit_overlap: float = 0.2     # V73:673
     tps_mosaic_overlap: float = 0.025  # V73:680
     min_tile_points: int = 10        # V73:710
+    tps_batch_tiles: bool = True     # one vmapped masked solve for all tiles
+    tps_tile_chunk: int = 16         # tiles solved/predicted per device batch
     weight_optimizer: str = "lbfgsb"  # or "sweep" (TPU batched candidate sweep)
     predict_block_rows: int = 256
     svm_importance_sample: int = 200  # V73:564
@@ -222,24 +224,83 @@ def _tps_error_surface(coords, res_final, rast_stack: Raster, config: MLTPSConfi
         return Raster(surf, grid), n_tiles
 
     first_layer = rast_stack.band(0)
-    tiles = []
-    for h in range(n_tiles):
-        rb = crop(first_layer, fit_exts[h])
+    crops = [crop(first_layer, fit_exts[h]) for h in range(n_tiles)]
+    sels = []
+    for h, rb in enumerate(crops):
         # stations inside the fit extent with a valid first covariate (V73:701-706)
         vals = np.asarray(extract(rb, coords[:, 0], coords[:, 1]))
-        sel = np.isfinite(vals)
-        npts = int(sel.sum())
-        if npts < config.min_tile_points:
-            log.info("tile %d: %d points -> zero surface", h + 1, npts)
-            surf_tile = Raster(jnp.zeros(rb.grid.shape, dtype), rb.grid)
-        else:
-            model = tps_fit(
-                jnp.asarray(coords[sel], dtype), jnp.asarray(res_final[sel], dtype)
-            )
-            surf = tps_predict_grid(model, rb.grid, use_pallas=config.use_pallas)
-            surf_tile = Raster(surf, rb.grid)
-        tiles.append(crop(surf_tile, mosaic_exts[h]))
+        sels.append(np.isfinite(vals))
+
+    if config.tps_batch_tiles:
+        surfs = _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype)
+    else:
+        surfs = []
+        for h, (rb, sel) in enumerate(zip(crops, sels)):
+            if int(sel.sum()) < config.min_tile_points:
+                log.info("tile %d: %d points -> zero surface", h + 1, int(sel.sum()))
+                surfs.append(Raster(jnp.zeros(rb.grid.shape, dtype), rb.grid))
+            else:
+                model = tps_fit(
+                    jnp.asarray(coords[sel], dtype), jnp.asarray(res_final[sel], dtype)
+                )
+                surf = tps_predict_grid(model, rb.grid, use_pallas=config.use_pallas)
+                surfs.append(Raster(surf, rb.grid))
+    tiles = [crop(s, mosaic_exts[h]) for h, s in enumerate(surfs)]
     return feather_blend(tiles, n_rx, n_cx, grid), n_tiles
+
+
+def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
+    """All TPS tiles as ONE vmapped masked factorisation + traced-origin
+    prediction (parallel/sharded.py) instead of a serial per-tile loop —
+    the TPU-native replacement for the reference's R loop (V73:690-738).
+
+    Tiles below the <10-point threshold become zero surfaces (V73:710-721).
+    Edge tiles are smaller than interior ones; all evaluate at the maximal
+    tile shape (traced origins) and crop down afterwards."""
+    from ..parallel.sharded import batched_tile_tps, pack_tiles
+
+    n_tiles = len(crops)
+    live = [h for h in range(n_tiles) if int(sels[h].sum()) >= config.min_tile_points]
+    for h in range(n_tiles):
+        if h not in live:
+            log.info("tile %d: %d points -> zero surface", h + 1, int(sels[h].sum()))
+    surfs: list = [None] * n_tiles
+    for h in range(n_tiles):
+        if h not in live:
+            surfs[h] = Raster(jnp.zeros(crops[h].grid.shape, dtype), crops[h].grid)
+    if not live:
+        return surfs
+
+    max_r = max(crops[h].grid.nrows for h in live)
+    max_c = max(crops[h].grid.ncols for h in live)
+    budget = -(-max(int(sels[h].sum()) for h in live) // 64) * 64
+    g0 = crops[live[0]].grid
+    origins = np.asarray(
+        [[crops[h].grid.xmin, crops[h].grid.ymax] for h in live], np.float64
+    )
+    c_list = [coords[sels[h]] for h in live]
+    y_list = [res_final[sels[h]] for h in live]
+    ct, yt, mt_ = pack_tiles(c_list, y_list, pad_to=budget)
+    ct = ct.astype(dtype)
+    yt = yt.astype(dtype)
+    mt_ = mt_.astype(dtype)
+    org = jnp.asarray(origins, dtype)
+
+    out_chunks = []
+    chunk = max(config.tps_tile_chunk, 1)
+    for s in range(0, len(live), chunk):
+        out_chunks.append(
+            batched_tile_tps(
+                ct[s : s + chunk], yt[s : s + chunk], mt_[s : s + chunk],
+                org[s : s + chunk],
+                tile_shape=(max_r, max_c), cell=(g0.dx, g0.dy),
+            )
+        )
+    all_surf = jnp.concatenate(out_chunks, axis=0)
+    for i, h in enumerate(live):
+        g = crops[h].grid
+        surfs[h] = Raster(all_surf[i, : g.nrows, : g.ncols], g)
+    return surfs
 
 
 def mltps(

@@ -131,3 +131,16 @@ def test_run_cv_residual_shapes(rng):
     tss = float(np.sum((np.asarray(y) - np.asarray(y).mean()) ** 2))
     for letter, res in out.items():
         assert np.sum(res**2) < tss, letter
+
+
+def test_aicc_subset_selection(rng):
+    from machisplin_tpu.ensemble import optimize_weights_aicc
+
+    res = _toy_residuals(rng)
+    out = optimize_weights_aicc(res, letters="bgr")
+    # the accurate algorithm is in the chosen subset; the pure-noise ones
+    # cost AICc parameters without cancelling anything
+    assert "b" in out.letters
+    assert set(out.weights.tolist()) <= {0.0, 1.0}
+    if len(out.kept_weights) > 1:
+        assert ":" in out.percent_text
