@@ -24,6 +24,10 @@ if not _NEED_REEXEC:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: repeat suite runs skip most XLA compiles
+    _cache_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import contextlib
 
