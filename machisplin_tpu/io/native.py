@@ -53,6 +53,14 @@ def load_native():
     ]
     lib.mosaic_finalize.restype = None
     lib.mosaic_finalize.argtypes = [f32p, f32p, ctypes.c_int64]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.forest_predict_f32.restype = None
+    lib.forest_predict_f32.argtypes = [
+        i32p, f32p, f32p, i32p, i32p, f32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f32p, ctypes.c_int64, ctypes.c_int64,
+        f32p, f32p, ctypes.c_int32,
+    ]
     _LIB = lib
     return lib
 
@@ -85,6 +93,38 @@ def decode_chunks(file_bytes: bytes, offsets, counts, out_offsets, out_sizes,
     )
     if rc != 0:
         raise ValueError(f"native TIFF decode failed at chunk {rc - 1}")
+    return out
+
+
+def forest_predict_native(trees, x, max_depth: int, weights, n_threads: int = 0) -> np.ndarray | None:
+    """Multi-threaded host forest prediction; None if the library is absent.
+
+    trees: a models/trees.Tree pytree with leading tree axis (host arrays ok).
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    feat = np.ascontiguousarray(np.asarray(trees.feat), np.int32)
+    thr = np.ascontiguousarray(np.asarray(trees.thr), np.float32)
+    internal = np.ascontiguousarray(np.asarray(trees.internal), np.float32)
+    left = np.ascontiguousarray(np.asarray(trees.left), np.int32)
+    right = np.ascontiguousarray(np.asarray(trees.right), np.int32)
+    value = np.ascontiguousarray(np.asarray(trees.value), np.float32)
+    xq = np.ascontiguousarray(np.asarray(x), np.float32)
+    w = np.ascontiguousarray(np.asarray(weights), np.float32)
+    t, n_nodes = feat.shape
+    m, p = xq.shape
+    out = np.zeros(m, np.float32)
+    lib.forest_predict_f32(
+        _ptr(feat, ctypes.c_int32), _ptr(thr, ctypes.c_float),
+        _ptr(internal, ctypes.c_float), _ptr(left, ctypes.c_int32),
+        _ptr(right, ctypes.c_int32), _ptr(value, ctypes.c_float),
+        t, n_nodes, max_depth,
+        _ptr(xq, ctypes.c_float), m, p,
+        _ptr(w, ctypes.c_float), _ptr(out, ctypes.c_float), n_threads,
+    )
     return out
 
 

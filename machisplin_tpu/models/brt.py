@@ -92,15 +92,40 @@ def fit(
     )
 
 
-def predict(state: BRTState, x, n_trees=None) -> jax.Array:
-    """F0 + lr * sum of active trees (optionally truncated at ``n_trees``)."""
+def predict(state: BRTState, x, n_trees=None, native_threshold: int = 65536) -> jax.Array:
+    """F0 + lr * sum of active trees (optionally truncated at ``n_trees``).
+
+    Large concrete batches route to the multi-threaded C++ forest predictor
+    when built (see models/rf.predict for the rationale)."""
     x = jnp.asarray(x)
     budget = state.tree_active.shape[0]
     act = state.tree_active
     if n_trees is not None:
         act = act * (jnp.arange(budget) < n_trees)
-    preds = jax.vmap(lambda t: tree_predict(t, x, state.n_splits))(state.trees)
-    return state.f0 + state.lr * jnp.tensordot(act, preds, axes=1)
+    weights = act * state.lr
+    concrete = not isinstance(x, jax.core.Tracer)
+    if concrete and x.shape[0] >= native_threshold:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            # gbm trees are tiny (J+1 leaves) and final models run to 10^4
+            # trees: leaf assignment as dense MXU algebra beats both serial
+            # traversal and host threads by orders of magnitude
+            from .trees import bestfirst_forest_predict_mxu
+
+            return state.f0 + bestfirst_forest_predict_mxu(
+                state.trees, x, weights
+            )
+        import numpy as np
+
+        from ..io.native import forest_predict_native
+
+        out = forest_predict_native(state.trees, x, state.n_splits, np.asarray(weights))
+        if out is not None:
+            return jnp.asarray(out, x.dtype) + state.f0
+    from .trees import forest_predict
+
+    return state.f0 + forest_predict(state.trees, x, state.n_splits, weights=weights)
 
 
 def importance(state: BRTState, names) -> dict:

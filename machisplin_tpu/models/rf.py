@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .base import as_weight
 from .trees import Tree, bin_data, forest_predict, grow_level_tree, make_bins, tree_predict
@@ -78,8 +79,27 @@ def fit(
     return RFState(trees=trees, edges=edges, max_depth=max_depth, oob_count=counts)
 
 
-def predict(state: RFState, x) -> jax.Array:
-    return forest_predict(state.trees, jnp.asarray(x), state.max_depth)
+def predict(state: RFState, x, native_threshold: int = 65536) -> jax.Array:
+    """Forest prediction.
+
+    Large concrete batches route to the multi-threaded C++ predictor
+    (native/machisplin_native.cpp) when built: branchy tree traversal is the
+    one workload TPU vector units cannot run at speed — the same division of
+    labor as randomForest's own native core.  Traced values (inside jit/vmap)
+    and small batches use the blocked gather path.
+    """
+    x = jnp.asarray(x)
+    concrete = not isinstance(x, jax.core.Tracer)
+    if concrete and x.shape[0] >= native_threshold:
+        from ..io.native import forest_predict_native
+
+        t = state.trees.feat.shape[0]
+        out = forest_predict_native(
+            state.trees, x, state.max_depth, np.full(t, 1.0 / t, np.float32)
+        )
+        if out is not None:
+            return jnp.asarray(out, x.dtype)
+    return forest_predict(state.trees, x, state.max_depth)
 
 
 def importance(state: RFState, x, y, names, key=None, sample_weight=None) -> dict:

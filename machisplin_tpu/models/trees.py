@@ -24,9 +24,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "Tree",
+    "bestfirst_forest_predict_mxu",
+    "build_path_matrices",
     "make_bins",
     "bin_data",
     "grow_level_tree",
@@ -230,6 +233,125 @@ def grow_bestfirst_tree(
     )
 
 
+def build_path_matrices(trees: Tree):
+    """Host-side ±1 ancestor-path encoding of best-first trees for the MXU
+    prediction path.
+
+    For each tree: P[a, q] = +1 if node q lies in the right subtree of
+    internal node a, -1 if left, 0 otherwise; cnt[q] = number of ancestors;
+    leaf[q] = 1 for reachable terminal nodes.  A cell lands in leaf q iff its
+    ±1 decision vector b satisfies  b · P[:, q] == cnt[q]  — which turns
+    leaf assignment into one batched matmul instead of a serial gather walk.
+    """
+    feat = np.asarray(trees.feat)
+    internal = np.asarray(trees.internal)
+    left = np.asarray(trees.left)
+    right = np.asarray(trees.right)
+    t, n = feat.shape
+    p_mat = np.zeros((t, n, n), np.float32)
+    cnt = np.zeros((t, n), np.float32)
+    leaf = np.zeros((t, n), np.float32)
+    for ti in range(t):
+        # reachable-subtree walk from the root
+        stack = [(0, [])]  # (node, [(ancestor, sign), ...])
+        while stack:
+            q, path = stack.pop()
+            for a, s in path:
+                p_mat[ti, a, q] = s
+            cnt[ti, q] = len(path)
+            if internal[ti, q] > 0:
+                stack.append((int(left[ti, q]), path + [(q, -1.0)]))
+                stack.append((int(right[ti, q]), path + [(q, +1.0)]))
+            else:
+                leaf[ti, q] = 1.0
+    return jnp.asarray(p_mat), jnp.asarray(cnt), jnp.asarray(leaf)
+
+
+def bestfirst_forest_predict_mxu(
+    trees: Tree,
+    x,
+    weights,
+    path_mats=None,
+    cell_block: int = 2048,
+    tree_chunk: int = 2048,
+) -> jax.Array:
+    """Gather-free forest prediction as dense MXU algebra — the TPU path for
+    boosted ensembles of small trees (gbm's J+1-leaf trees; final models run
+    to 10000 trees, V73:493, where serial traversal is hopeless).
+
+    Per (cell block, tree chunk):  decision bits from one (m, p+1) x
+    (p+1, T*N) matmul, leaf selection from the batched ±1 path contraction
+    (T, m, N) x (T, N, N), prediction from the masked value sum.  All three
+    are MXU contractions; no gathers touch the cell axis.
+    """
+    x = jnp.asarray(x)
+    m, p = x.shape
+    t_total, n_nodes = trees.feat.shape
+    if path_mats is None:
+        path_mats = build_path_matrices(trees)
+    p_mat, cnt, leaf = path_mats
+    w = jnp.asarray(weights, x.dtype)
+
+    # feature one-hot (p, T*N) and flattened thresholds
+    f_onehot = (
+        (np.asarray(trees.feat)[..., None] == np.arange(p)[None, None, :])
+        .astype(np.float32)
+        .transpose(2, 0, 1)
+        .reshape(p, t_total * n_nodes)
+    )
+    f_onehot = jnp.asarray(f_onehot)
+    thr_flat = trees.thr.reshape(1, t_total * n_nodes).astype(x.dtype)
+    wval = trees.value * w[:, None] * leaf                       # (T, N)
+
+    tc = min(tree_chunk, t_total)
+    n_tc = -(-t_total // tc)
+    t_pad = n_tc * tc - t_total
+
+    def pad_t(a, axis=0):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, t_pad)
+        return jnp.pad(a, widths)
+
+    p_mat_c = pad_t(p_mat).reshape(n_tc, tc, n_nodes, n_nodes)
+    cnt_c = pad_t(cnt).reshape(n_tc, tc, n_nodes)
+    # padded trees: leaf mask 0 everywhere -> contribute nothing
+    wval_c = pad_t(wval).reshape(n_tc, tc, n_nodes)
+    f1h_c = pad_t(
+        f_onehot.reshape(p, t_total, n_nodes), axis=1
+    ).reshape(p, n_tc, tc * n_nodes)
+    thr_c = pad_t(
+        thr_flat.reshape(t_total, n_nodes)
+    ).reshape(n_tc, tc * n_nodes)
+
+    mb = min(cell_block, m) if m else 1
+    n_mb = -(-m // mb)
+    c_pad = n_mb * mb - m
+    xb = jnp.pad(x, ((0, c_pad), (0, 0))).reshape(n_mb, mb, p)
+
+    def cell_body(_, xblk):
+        def tree_body(acc, inp):
+            f1h, thr, pm, ct, wv = inp
+            xv = jnp.dot(xblk, f1h, preferred_element_type=jnp.float32)  # (mb, tc*N)
+            bits = 2.0 * (xv > thr).astype(x.dtype) - 1.0
+            bits = bits.reshape(mb, tc, n_nodes)
+            z = jax.lax.dot_general(
+                bits.transpose(1, 0, 2), pm,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                    # (tc, mb, N)
+            sel = (z == ct[:, None, :]).astype(x.dtype)
+            return acc + jnp.einsum("tmq,tq->m", sel, wv), None
+
+        acc, _ = jax.lax.scan(
+            tree_body, jnp.zeros((mb,), x.dtype),
+            (jnp.moveaxis(f1h_c, 1, 0), thr_c, p_mat_c, cnt_c, wval_c),
+        )
+        return None, acc
+
+    _, out = jax.lax.scan(cell_body, None, xb)
+    return out.reshape(n_mb * mb)[:m]
+
+
 def tree_predict(tree: Tree, x, depth: int) -> jax.Array:
     """Route (m, p) points through one tree with a fixed-depth gather loop."""
     x = jnp.asarray(x)
@@ -247,10 +369,52 @@ def tree_predict(tree: Tree, x, depth: int) -> jax.Array:
     return tree.value[cur]
 
 
-def forest_predict(trees: Tree, x, depth: int, weights=None) -> jax.Array:
-    """Mean (or weighted sum) prediction over a stacked Tree pytree with a
-    leading tree axis."""
-    preds = jax.vmap(lambda t: tree_predict(t, x, depth))(trees)   # (T, m)
+def forest_predict(
+    trees: Tree, x, depth: int, weights=None,
+    tree_chunk: int = 32, cell_block: int = 65536,
+) -> jax.Array:
+    """Weighted-sum prediction over a stacked Tree pytree (leading tree axis).
+
+    Both axes are blocked: trees in chunks of ``tree_chunk`` and cells in
+    blocks of ``cell_block``, each under ``lax.scan``, so peak memory is
+    O(tree_chunk x cell_block x p).  Routing all trees over a full raster
+    block at once materialises multi-GB vmap-broadcast intermediates and can
+    take down the TPU worker.  ``weights=None`` averages (random forest); a
+    weight vector implements shrinkage-scaled boosting sums.
+    """
+    x = jnp.asarray(x)
+    m = x.shape[0]
+    t_total = trees.feat.shape[0]
     if weights is None:
-        return jnp.mean(preds, axis=0)
-    return jnp.tensordot(jnp.asarray(weights), preds, axes=1)
+        w = jnp.full((t_total,), 1.0 / t_total, x.dtype)
+    else:
+        w = jnp.asarray(weights, x.dtype)
+    chunk = min(tree_chunk, t_total)
+    n_chunks = -(-t_total // chunk)
+    t_pad = n_chunks * chunk - t_total
+
+    def pad_tree(a):
+        widths = [(0, t_pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths).reshape((n_chunks, chunk) + a.shape[1:])
+
+    tc = jax.tree.map(pad_tree, trees)
+    wc = jnp.pad(w, (0, t_pad)).reshape(n_chunks, chunk)
+
+    block = min(cell_block, m) if m else 1
+    n_blocks = -(-m // block)
+    c_pad = n_blocks * block - m
+    xb = jnp.pad(x, ((0, c_pad), (0, 0))).reshape(n_blocks, block, x.shape[1])
+
+    def cells_body(_, xblk):
+        def trees_body(acc, inp):
+            tch, wch = inp
+            preds = jax.vmap(lambda t: tree_predict(t, xblk, depth))(tch)
+            return acc + jnp.tensordot(wch, preds, axes=1), None
+
+        acc, _ = jax.lax.scan(
+            trees_body, jnp.zeros((block,), x.dtype), (tc, wc)
+        )
+        return None, acc
+
+    _, out = jax.lax.scan(cells_body, None, xb)
+    return out.reshape(n_blocks * block)[:m]

@@ -95,11 +95,14 @@ def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256):
     """Stream model prediction over the grid in row blocks -> (H, W).
 
     Replaces terra::predict(rast_stack, model) (V73:468/497/521/543/582/604).
-    Cells with any NaN covariate predict NaN.
+    Cells with any NaN covariate predict NaN.  Functions marked
+    ``prefers_host=True`` (tree ensembles routed to the C++ predictor) are
+    called with concrete blocks instead of being jitted.
     """
     c, h, w = rast_stack.data.shape
     rows = []
-    fn = jax.jit(predict_fn)
+    host = getattr(predict_fn, "prefers_host", False)
+    fn = predict_fn if host else jax.jit(predict_fn)
     for r0 in range(0, h, block_rows):
         blk = rast_stack.data[:, r0 : r0 + block_rows, :]
         x = jnp.moveaxis(blk, 0, -1).reshape(-1, c)
@@ -175,11 +178,15 @@ def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     if letter == "r":
         state = rf.fit(key, x, y, **config.final_rf)
         imp = rf.importance(state, x, y, names)
-        return (lambda q: rf.predict(state, q)), imp
+        fn = lambda q: rf.predict(state, q)
+        fn.prefers_host = True
+        return fn, imp
     if letter == "b":
         res = gbm_step.fit(key, x, y, **config.final_brt)
         imp = gbm_step.importance(res, names)
-        return (lambda q: gbm_step.predict(res, q)), imp
+        fn = lambda q: gbm_step.predict(res, q)
+        fn.prefers_host = True
+        return fn, imp
     raise ValueError(letter)
 
 

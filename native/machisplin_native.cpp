@@ -199,4 +199,79 @@ void mosaic_finalize(float* acc, const float* cnt, int64_t n) {
     acc[i] = cnt[i] > 0.f ? acc[i] / cnt[i] : NAN;
 }
 
+// ---------------------------------------------------------------------------
+// Forest prediction (host path)
+// ---------------------------------------------------------------------------
+// Branchy tree traversal is the one workload TPU vector units cannot run at
+// speed (measured ~0.03 Mcells/s on gather-based routing); randomForest's own
+// Fortran/C core is the precedent for doing this on the host.  Trees are flat
+// arrays in the models/trees.py layout: per tree, node arrays of length
+// n_nodes (feat int32, thr f32, internal f32>0, left/right int32, value f32).
+// Prediction = weighted sum over trees, multi-threaded over cells.
+// x is row-major (m, p).  weights length n_trees.
+struct PackedNode {      // one cache line serves a whole node visit
+  int32_t feat;          // -1 marks a leaf
+  float thr;
+  int32_t left;
+  int32_t right;
+  float value;
+};
+
+void forest_predict_f32(const int32_t* feat, const float* thr,
+                        const float* internal, const int32_t* left,
+                        const int32_t* right, const float* value,
+                        int64_t n_trees, int64_t n_nodes, int64_t max_depth,
+                        const float* x, int64_t m, int64_t p,
+                        const float* weights, float* out, int32_t n_threads) {
+  // pack field-of-arrays into interleaved records once (tiny vs. m)
+  std::vector<PackedNode> packed((size_t)n_trees * n_nodes);
+  std::vector<int32_t> live;   // trees with non-zero weight
+  live.reserve(n_trees);
+  for (int64_t t = 0; t < n_trees; ++t) {
+    if (weights[t] != 0.f) live.push_back((int32_t)t);
+    const int64_t base = t * n_nodes;
+    for (int64_t q = 0; q < n_nodes; ++q) {
+      PackedNode& nd = packed[base + q];
+      nd.feat = internal[base + q] > 0.f ? feat[base + q] : -1;
+      nd.thr = thr[base + q];
+      nd.left = left[base + q];
+      nd.right = right[base + q];
+      nd.value = value[base + q];
+    }
+  }
+
+  std::atomic<int64_t> next(0);
+  const int64_t block = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      int64_t i0 = b * block;
+      if (i0 >= m) return;
+      int64_t i1 = std::min(i0 + block, m);
+      // iterate trees outer, cells inner: the tree's nodes stay hot in L1/L2
+      std::vector<float> acc(i1 - i0, 0.f);
+      for (int32_t t : live) {
+        const float w = weights[t];
+        const PackedNode* nodes = packed.data() + (size_t)t * n_nodes;
+        for (int64_t i = i0; i < i1; ++i) {
+          const float* xi = x + i * p;
+          int32_t cur = 0;
+          int32_t f = nodes[0].feat;
+          for (int64_t d = 0; d < max_depth && f >= 0; ++d) {
+            cur = (xi[f] <= nodes[cur].thr) ? nodes[cur].left : nodes[cur].right;
+            f = nodes[cur].feat;
+          }
+          acc[i - i0] += w * nodes[cur].value;
+        }
+      }
+      for (int64_t i = i0; i < i1; ++i) out[i] = acc[i - i0];
+    }
+  };
+  int nt = std::max(1, n_threads);
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

@@ -159,3 +159,19 @@ def test_gbm_step_selects_tree_count(rng):
     # the selected checkpoint is the argmin of the finite curve
     assert np.argmin(finite) == res.best_trees // 25 - 1
     assert r2(y, gbm_step.predict(res, x)) > 0.85
+
+
+def test_mxu_forest_predict_matches_gather(rng):
+    """The dense-algebra (path-matrix) predictor must agree exactly with
+    serial tree traversal for best-first boosted trees."""
+    from machisplin_tpu.models.trees import bestfirst_forest_predict_mxu, forest_predict
+
+    x, y = make_data(rng, n=200)
+    state = brt.fit(jax.random.PRNGKey(1), x, y, n_trees=40, n_splits=4, lr=0.1)
+    xq = jnp.asarray(np.asarray(make_data(rng, n=500)[0]))
+    w = state.tree_active * state.lr
+    a = np.asarray(forest_predict(state.trees, xq, state.n_splits, weights=w))
+    b = np.asarray(
+        bestfirst_forest_predict_mxu(state.trees, xq, w, cell_block=128, tree_chunk=16)
+    )
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
