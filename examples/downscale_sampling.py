@@ -8,6 +8,11 @@ exact bundled grid geometry.  Run time scales with --downsample (default 16
 -> ~155x204 cells; use 1 for the full 8.08M-cell grid on TPU).
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -2,6 +2,11 @@
 pipeline per tile, feather-merge the results (README.md:157-215:
 tiles.create -> mltps x T -> tiles.id -> tiles.merge)."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

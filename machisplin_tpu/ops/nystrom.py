@@ -123,21 +123,56 @@ def nystrom_tps_fit(
     starts = jnp.arange(n_chunks) * chunk
     (g, bty, yy), _ = jax.lax.scan(chunk_stats, init, starts)
 
-    # whiten: G = R'R (ridge keeps the Cholesky honest at scale)
-    scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-30))
-    gn = g / jnp.outer(scale, scale) + ridge * jnp.eye(p_dim, dtype=dtype)
-    r = jnp.linalg.cholesky(gn, upper=True)
-    # penalty P = blockdiag(0_3, K_zz) in the scaled basis
-    pen = jnp.zeros((p_dim, p_dim), dtype).at[3:, 3:].set(
-        kzz / jnp.outer(scale[3:], scale[3:])
-    )
-    rinv_t = jax.scipy.linalg.solve_triangular(r, jnp.eye(p_dim, dtype=dtype), trans="T", lower=False)
-    mmat = rinv_t @ pen @ rinv_t.T
-    evals, u = jnp.linalg.eigh(0.5 * (mmat + mmat.T))
-    evals = jnp.maximum(evals, 0.0)
+    # Solve tail: the (m+3)^2 system is tiny next to the streamed
+    # cross-products, but badly conditioned — in f32 the Cholesky can go NaN
+    # at m ~ 2000 (and a NaN-fed eigh has been observed to take the TPU
+    # worker down).  When the inputs are concrete, run the tail on the host
+    # in f64; inside a trace, fall back to the in-graph f32 path.
+    concrete = not isinstance(g, jax.core.Tracer)
+    if concrete:
+        import numpy as onp
 
-    un = bty / scale[:, None]
-    uu = u.T @ jax.scipy.linalg.solve_triangular(r, un, trans="T", lower=False)  # (p, R)
+        g64 = onp.asarray(g, onp.float64)
+        kzz64 = onp.asarray(kzz, onp.float64)
+        scale = onp.sqrt(onp.maximum(onp.diag(g64), 1e-300))
+        # coincident landmarks (k-means can collapse centers) make exact
+        # duplicate columns: escalate the ridge until the Cholesky holds
+        r_np = None
+        rr = 1e-10
+        while r_np is None:
+            try:
+                gn = g64 / onp.outer(scale, scale) + rr * onp.eye(p_dim)
+                r_np = onp.linalg.cholesky(gn).T
+            except onp.linalg.LinAlgError:
+                rr *= 100.0
+                if rr > 1e-2:
+                    raise
+        pen = onp.zeros((p_dim, p_dim))
+        pen[3:, 3:] = kzz64 / onp.outer(scale[3:], scale[3:])
+        rinv = onp.linalg.solve(r_np, onp.eye(p_dim))
+        mmat = rinv.T @ pen @ rinv
+        evals_np, u_np = onp.linalg.eigh(0.5 * (mmat + mmat.T))
+        evals = jnp.asarray(onp.maximum(evals_np, 0.0), dtype)
+        u = jnp.asarray(u_np, dtype)
+        un64 = onp.asarray(bty, onp.float64) / scale[:, None]
+        uu = jnp.asarray(u_np.T @ onp.linalg.solve(r_np.T, un64), dtype)
+        r = jnp.asarray(r_np, dtype)
+        scale = jnp.asarray(scale, dtype)
+    else:
+        scale = jnp.sqrt(jnp.maximum(jnp.diag(g), 1e-30))
+        gn = g / jnp.outer(scale, scale) + ridge * jnp.eye(p_dim, dtype=dtype)
+        r = jnp.linalg.cholesky(gn, upper=True)
+        pen = jnp.zeros((p_dim, p_dim), dtype).at[3:, 3:].set(
+            kzz / jnp.outer(scale[3:], scale[3:])
+        )
+        rinv_t = jax.scipy.linalg.solve_triangular(
+            r, jnp.eye(p_dim, dtype=dtype), trans="T", lower=False
+        )
+        mmat = rinv_t @ pen @ rinv_t.T
+        evals, u = jnp.linalg.eigh(0.5 * (mmat + mmat.T))
+        evals = jnp.maximum(evals, 0.0)
+        un = bty / scale[:, None]
+        uu = u.T @ jax.scipy.linalg.solve_triangular(r, un, trans="T", lower=False)
 
     if lam is None:
         grid = jnp.logspace(-10, 6, ngrid, dtype=dtype)        # (G,)

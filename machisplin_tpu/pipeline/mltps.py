@@ -147,9 +147,6 @@ def _prepare_inputs(int_values, covar_ras: Raster):
     return rast_stack, covar_names, coords, x, responses
 
 
-_FINAL_FITTERS = {}
-
-
 def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     """Final-fit one algorithm on all rows; returns (predict_fn, var_imp).
 
