@@ -39,6 +39,7 @@ def write_geotiff(
     seed: int | None = None,
 ):
     """Write each layer's final raster + the summary CSV; returns paths."""
+    os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, res in enumerate(results):
         name = out_names[i] if out_names else res.name
@@ -67,6 +68,7 @@ def write_geotiff(
 
 
 def write_residuals(results: Sequence, out_dir: str = ".", out_names=None):
+    os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, res in enumerate(results):
         name = out_names[i] if out_names else res.name
@@ -90,6 +92,7 @@ def _format_imp(value, indent=0) -> str:
 
 
 def write_loadings(results: Sequence, out_dir: str = ".", out_names=None):
+    os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, res in enumerate(results):
         name = out_names[i] if out_names else res.name
