@@ -21,6 +21,7 @@ device-mesh sharding (parallel/).
 
 from .grid import GridSpec, Raster, WGS84, crop, extend, extract, lonlat_rasters, mosaic, resample_near, stack
 from .io.geotiff import read_geotiff, write_geotiff_file
+from .io.checkpoint import load_layer, mltps_resumable, save_layer
 from .io.writers import write_geotiff, write_loadings, write_residuals
 from .pipeline.mltps import LayerResult, MLTPSConfig, mltps
 from .pipeline.tiles import tiles_create, tiles_id, tiles_merge
@@ -36,11 +37,14 @@ __all__ = [
     "crop",
     "extend",
     "extract",
+    "load_layer",
     "lonlat_rasters",
     "mltps",
+    "mltps_resumable",
     "mosaic",
     "read_geotiff",
     "resample_near",
+    "save_layer",
     "stack",
     "tiles_create",
     "tiles_id",

@@ -35,7 +35,7 @@ def kfold(key, n: int, k: int = 5, by=None) -> jax.Array:
     return jnp.asarray(group)[perm]
 
 
-def fold_masks(folds: jax.Array, k: int, n_rows_total: int | None = None, invert: bool = False):
+def fold_masks(folds: jax.Array, k: int, invert: bool = False):
     """(k, n) float train/test mask pairs.
 
     ``invert=True`` reproduces the reference's >4000-row behavior: train on

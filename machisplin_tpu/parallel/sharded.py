@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.tps import TPSModel, _pairwise_r2, _phi, tps_factor, tps_solve
 
-__all__ = ["make_mesh", "pack_tiles", "batched_tile_tps", "tile_tps_predict"]
+__all__ = ["make_mesh", "pack_tiles", "batched_tile_solve", "batched_tile_tps", "tile_tps_predict"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "tile") -> Mesh:
@@ -54,23 +54,54 @@ def pack_tiles(coords_list, y_list, pad_to: int | None = None):
     return jnp.asarray(coords), jnp.asarray(y), jnp.asarray(mask)
 
 
-def _predict_tile(model: TPSModel, origin, tile_shape, cell):
+def _predict_tile(model: TPSModel, origin, tile_shape, cell, slab_rows: int = 64):
     """Evaluate a tile surface from a traced origin (xmin, ymax).
 
-    tile_shape (rows, cols) and cell (dx, dy) are static."""
+    tile_shape (rows, cols) and cell (dx, dy) are static.  Rows stream in
+    slabs under ``lax.scan`` so the (cells x knots) kernel matrix never
+    materialises for the whole tile (a full-resolution 1500-px tile against
+    ~1k knots would otherwise need tens of GB)."""
     rows, cols = tile_shape
     dx, dy = cell
     dtype = model.c.dtype
+    slab = min(slab_rows, rows)
+    n_slabs = -(-rows // slab)
     xs = origin[0] + (jnp.arange(cols, dtype=dtype) + 0.5) * dx
-    ys = origin[1] - (jnp.arange(rows, dtype=dtype) + 0.5) * dy
-    px = (jnp.broadcast_to(xs[None, :], (rows, cols)).reshape(-1) - model.shift[0]) / model.scale[0]
-    py = (jnp.broadcast_to(ys[:, None], (rows, cols)).reshape(-1) - model.shift[1]) / model.scale[1]
-    pts = jnp.stack([px, py], axis=1)
-    phi = _phi(_pairwise_r2(pts, model.knots), dtype)
-    poly = jnp.concatenate([jnp.ones((pts.shape[0], 1), dtype), pts], axis=1)
-    out = phi @ model.c + poly @ model.d
-    out_shape = (rows, cols) + out.shape[1:]
-    return out.reshape(out_shape)
+    px_row = (xs - model.shift[0]) / model.scale[0]              # (cols,)
+
+    def slab_body(_, r0):
+        ys = origin[1] - (r0 + jnp.arange(slab, dtype=dtype) + 0.5) * dy
+        py = (ys - model.shift[1]) / model.scale[1]
+        px = jnp.broadcast_to(px_row[None, :], (slab, cols)).reshape(-1)
+        pyf = jnp.broadcast_to(py[:, None], (slab, cols)).reshape(-1)
+        pts = jnp.stack([px, pyf], axis=1)
+        phi = _phi(_pairwise_r2(pts, model.knots), dtype)
+        poly = jnp.concatenate([jnp.ones((pts.shape[0], 1), dtype), pts], axis=1)
+        out = phi @ model.c + poly @ model.d
+        return None, out.reshape((slab, cols) + out.shape[1:])
+
+    starts = (jnp.arange(n_slabs) * slab).astype(dtype)
+    _, slabs = jax.lax.scan(slab_body, None, starts)
+    out = slabs.reshape((n_slabs * slab, cols) + slabs.shape[3:])
+    return out[:rows]
+
+
+def batched_tile_solve(
+    coords, y, mask, *, lam=None, ngrid: int = 200, refine: int = 40,
+    mesh: Mesh | None = None, axis: str = "tile",
+) -> TPSModel:
+    """Factorise + solve every padded tile in one vmapped (optionally
+    shard_mapped) program; returns a TPSModel pytree with a leading tile
+    axis.  Prediction is separate so callers can stream it through the
+    Pallas grid kernel tile by tile."""
+    fn = jax.vmap(lambda c, v, m: tps_solve(tps_factor(c, m), v, lam=lam, ngrid=ngrid, refine=refine))
+    if mesh is None:
+        return fn(coords, y, mask)
+    spec = P(axis)
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )
+    return sharded(coords, y, mask)
 
 
 def _solve_and_predict(coords, y, mask, origin, *, tile_shape, cell, lam, ngrid, refine):

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ import numpy as np
 
 from ..ensemble.cv import CVConfig, residual_matrix, run_cv
 from ..ensemble.weights import WeightResult, optimize_weights_lbfgsb, optimize_weights_sweep
-from ..grid import GridSpec, Raster, crop, extend, extract, lonlat_rasters, mosaic, stack
+from ..grid import GridSpec, Raster, crop, extract, lonlat_rasters, mosaic, stack
 from ..models import brt, gam, gbm_step, mars, nn, rf, svm
 from ..models.base import LETTER_TO_NAME
 from ..ops.feather import feather_blend
@@ -261,7 +261,7 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
     Tiles below the <10-point threshold become zero surfaces (V73:710-721).
     Edge tiles are smaller than interior ones; all evaluate at the maximal
     tile shape (traced origins) and crop down afterwards."""
-    from ..parallel.sharded import batched_tile_tps, pack_tiles
+    from ..parallel.sharded import batched_tile_solve, pack_tiles
 
     n_tiles = len(crops)
     live = [h for h in range(n_tiles) if int(sels[h].sum()) >= config.min_tile_points]
@@ -275,35 +275,29 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
     if not live:
         return surfs
 
-    max_r = max(crops[h].grid.nrows for h in live)
-    max_c = max(crops[h].grid.ncols for h in live)
     budget = -(-max(int(sels[h].sum()) for h in live) // 64) * 64
-    g0 = crops[live[0]].grid
-    origins = np.asarray(
-        [[crops[h].grid.xmin, crops[h].grid.ymax] for h in live], np.float64
-    )
     c_list = [coords[sels[h]] for h in live]
     y_list = [res_final[sels[h]] for h in live]
     ct, yt, mt_ = pack_tiles(c_list, y_list, pad_to=budget)
     ct = ct.astype(dtype)
     yt = yt.astype(dtype)
     mt_ = mt_.astype(dtype)
-    org = jnp.asarray(origins, dtype)
 
-    out_chunks = []
+    # solves batch (vmapped masked factorisations); predictions stream per
+    # tile through the Pallas grid kernel, which never materialises the
+    # (cells x knots) matrix (a full-res tile would need tens of GB)
     chunk = max(config.tps_tile_chunk, 1)
+    models = []
     for s in range(0, len(live), chunk):
-        out_chunks.append(
-            batched_tile_tps(
-                ct[s : s + chunk], yt[s : s + chunk], mt_[s : s + chunk],
-                org[s : s + chunk],
-                tile_shape=(max_r, max_c), cell=(g0.dx, g0.dy),
-            )
+        models.append(
+            batched_tile_solve(ct[s : s + chunk], yt[s : s + chunk], mt_[s : s + chunk])
         )
-    all_surf = jnp.concatenate(out_chunks, axis=0)
     for i, h in enumerate(live):
+        m_chunk = models[i // chunk]
+        model_i = jax.tree.map(lambda a: a[i % chunk], m_chunk)
         g = crops[h].grid
-        surfs[h] = Raster(all_surf[i, : g.nrows, : g.ncols], g)
+        surf = tps_predict_grid(model_i, g, use_pallas=config.use_pallas)
+        surfs[h] = Raster(surf, g)
     return surfs
 
 
