@@ -9,9 +9,10 @@ min-shifted/max-scaled to [0,1] using *train-split* statistics per fold
 (V73:234-241).
 
 TPU-native: gam/nn/mars/svm folds are vmapped (sample-weight masks give every
-fold the same static shapes); the two tree ensembles run fold-sequential on
-the host (gbm.step has its own inner CV while-loop; RF keeps peak memory flat)
-with all per-fold compute jitted.
+fold the same static shapes); gbm.step batches ALL outer folds into one
+while_loop (models/gbm_step.fit_outer_batched — 100 boosting chains advance
+in lockstep); RF runs fold-sequential to keep peak memory flat, with all
+per-fold compute jitted.
 """
 from __future__ import annotations
 
@@ -101,13 +102,9 @@ def run_cv(
             rows.append(fit_r(jax.random.fold_in(kr, v), train_w[v]))
         preds["r"] = jnp.stack(rows)
     if "b" in algorithms:
-        rows = []
-        for v in range(k):
-            res = gbm_step.fit(
-                jax.random.fold_in(kb, v), x, y, sample_weight=train_w[v], **config.brt
-            )
-            rows.append(gbm_step.predict(res, x))
-        preds["b"] = jnp.stack(rows)
+        # all outer folds' gbm.step runs batched into one while_loop
+        preds_b, _ = gbm_step.fit_outer_batched(kb, x, y, train_w, **config.brt)
+        preds["b"] = jnp.asarray(preds_b)
     del krest
 
     # fold-major concatenation of test residuals (V73:255-319)

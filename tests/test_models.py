@@ -175,3 +175,25 @@ def test_mxu_forest_predict_matches_gather(rng):
         bestfirst_forest_predict_mxu(state.trees, xq, w, cell_block=128, tree_chunk=16)
     )
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_gbm_outer_batched_matches_sequential_quality(rng):
+    """The batched outer-fold gbm.step path must select similar tree counts
+    and deliver comparable out-of-fold accuracy to the sequential driver."""
+    x, y = make_data(rng, n=240)
+    w = np.zeros((3, 240), np.float32)
+    folds = np.arange(240) % 3
+    for f in range(3):
+        w[f] = (folds != f).astype(np.float32)
+    preds, best = gbm_step.fit_outer_batched(
+        jax.random.PRNGKey(5), x, y, jnp.asarray(w),
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=400, n_folds=5,
+    )
+    assert preds.shape == (3, 240)
+    assert all(25 <= b <= 400 for b in best)
+    # out-of-fold residuals beat the null model comfortably
+    y_np = np.asarray(y)
+    for f in range(3):
+        test = w[f] == 0
+        res = y_np[test] - preds[f][test]
+        assert np.sum(res**2) < 0.5 * np.sum((y_np[test] - y_np[test].mean()) ** 2)
