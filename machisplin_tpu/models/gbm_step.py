@@ -254,19 +254,23 @@ def fit_outer_batched(
     outer_train_w = jnp.asarray(outer_train_w, x.dtype)
     f_outer = outer_train_w.shape[0]
     if tolerance is None:
-        wsum = jnp.maximum(jnp.sum(outer_train_w, axis=1), 1.0)
-        ybar = jnp.sum(outer_train_w * y[None, :], axis=1) / wsum
-        tol_f = jnp.sum(outer_train_w * (y[None, :] - ybar[:, None]) ** 2, axis=1) / wsum
-        tolerance = 0.001 * float(jnp.mean(tol_f))
+        # auto tolerance per outer fold: 0.001 x that fold's total mean
+        # deviance, exactly as each gbm.step run computes it (V73 "auto")
+        wsum = np.maximum(np.asarray(jnp.sum(outer_train_w, axis=1)), 1.0)
+        ybar = np.asarray(jnp.sum(outer_train_w * y[None, :], axis=1)) / wsum
+        tol_f = np.asarray(
+            jnp.sum(outer_train_w * (y[None, :] - jnp.asarray(ybar)[:, None]) ** 2, axis=1)
+        ) / wsum
+        tolerance = 0.001 * tol_f
 
     kcv, kfinal = jax.random.split(jax.random.fold_in(key, 11))
     # not jitted as a whole: the cycle loop runs on the host (bounded device
     # programs); each growth cycle is jitted inside
-    curve_fn = lambda k, w: _cv_deviance_curve_multi(
+    curve_fn = lambda k, w, tol: _cv_deviance_curve_multi(
         k, x, y, w,
         n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
         bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
-        max_trees=max_trees, tolerance=tolerance, n_bins=n_bins,
+        max_trees=max_trees, tolerance=tol, n_bins=n_bins,
     )
     chunk = max(1, min(outer_chunk, f_outer))
     stopped_parts, cv_parts = [], []
@@ -276,7 +280,10 @@ def fit_outer_batched(
         if w_c.shape[0] < chunk:  # pad to the compiled chunk width
             pad = chunk - w_c.shape[0]
             w_c = jnp.concatenate([w_c, w_c[:pad]], axis=0)
-        stopped_c, dev_c, edges, xb = curve_fn(jax.random.fold_in(kcv, s), w_c)
+        tol_c = tolerance[s : s + chunk] if isinstance(tolerance, np.ndarray) else tolerance
+        if isinstance(tol_c, np.ndarray) and tol_c.shape[0] < chunk:
+            tol_c = np.concatenate([tol_c, tol_c[: chunk - tol_c.shape[0]]])
+        stopped_c, dev_c, edges, xb = curve_fn(jax.random.fold_in(kcv, s), w_c, tol_c)
         stopped_parts.append(np.asarray(stopped_c))
         cv_parts.append(np.asarray(jnp.mean(dev_c, axis=2)))
     stopped = np.concatenate(stopped_parts)[:f_outer]
