@@ -26,6 +26,7 @@ the final refit reuses bucketed static tree budgets to bound recompiles.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -119,9 +120,6 @@ def _cv_deviance_curve(
     return j, dev, edges
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=32)
 def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
     """One jitted growth cycle for the batched CV curve: advances every
@@ -164,13 +162,14 @@ def _cv_deviance_curve_multi(
     key, x, y, w_outer, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
     step_size, max_trees, tolerance, n_bins,
 ):
-    """All OUTER folds' gbm.step CV curves in one while_loop.
+    """All OUTER folds' gbm.step CV curves, batched.
 
     w_outer: (F, n) training masks (one per outer CV fold).  Every outer
-    fold's 10 inner-fold models advance in lockstep — F x K boosting chains
-    per tree step — and each outer fold freezes at its own stopping
+    fold's inner-fold models advance in lockstep — F x K boosting chains per
+    tree step — in bounded jitted cycle programs with the checkpoint/stop
+    bookkeeping on the host; each outer fold freezes at its own stopping
     checkpoint (the reference's rule applied per gbm.step run).  Returns
-    (stopped_at (F,), dev (max_cp, F, K))."""
+    (stopped_at (F,), dev (max_cp, F, K), edges, binned x)."""
     n, p = x.shape
     edges = make_bins(x, n_bins)
     xb = bin_data(x, edges)

@@ -144,3 +144,16 @@ def test_aicc_subset_selection(rng):
     assert set(out.weights.tolist()) <= {0.0, 1.0}
     if len(out.kept_weights) > 1:
         assert ":" in out.percent_text
+
+
+def test_run_cv_inverted_split_over_4000_rows(rng):
+    """Above 4000 rows the reference trains on ONE fold and tests on the
+    rest (V73:227-232): the fold-major residual concat then has (k-1) * n/k
+    entries per fold = n * (k-1) / k * k total."""
+    n = 4400
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+    y = jnp.asarray(2 * np.asarray(x)[:, 0] + 0.01 * rng.standard_normal(n))
+    out = run_cv(jax.random.PRNGKey(1), x, y, config=CVConfig(n_folds=4), algorithms="g")
+    # each of the 4 folds tests on the other 3 folds' rows
+    assert out["g"].shape == (3 * n,)
+    assert np.isfinite(out["g"]).all()
