@@ -65,57 +65,101 @@ def run_cv(
     *,
     config: CVConfig | None = None,
     algorithms: str = "bgnmrv",
+    vmap_chunk: int = 64,
 ) -> dict[str, np.ndarray]:
-    """Returns {letter: fold-major concatenated test residuals}."""
+    """Returns {letter: fold-major concatenated test residuals}.
+
+    ``y`` may be (n,) for one response or (n, R) for a batch — the TPU-native
+    replacement for the reference's deleted per-response snowfall fan-out
+    (old/...V69.R:936-969): every (response, fold) model of the vmappable
+    algorithms trains in one program (chunked at ``vmap_chunk``), and the
+    gbm.step chains batch per response.  Fold assignment is drawn per
+    response, as the reference does inside its layer loop (V73:221).
+    Multi-response output is {letter: (R, n_concat)}.
+    """
     config = config or CVConfig()
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    n = x.shape[0]
+    single = y.ndim == 1
+    ys = (y[:, None] if single else y).astype(x.dtype)       # (n, R)
+    n, n_resp = ys.shape
     k = config.n_folds
-    kf, kb, kr, kn, ks, krest = jax.random.split(key, 6)
-    folds = kfold(kf, n, k)
+    kf, kb, kr, kn, ks = jax.random.split(key, 5)
     invert = n > config.invert_threshold
-    train_w, test_w = fold_masks(folds, k, invert=invert)
-    train_w = train_w.astype(x.dtype)
-    test_w = test_w.astype(x.dtype)
+    tr_list, te_list = [], []
+    for r in range(n_resp):
+        folds = kfold(jax.random.fold_in(kf, r), n, k)
+        tr, te = fold_masks(folds, k, invert=invert)
+        tr_list.append(tr)
+        te_list.append(te)
+    train_w = jnp.stack(tr_list).astype(x.dtype)             # (R, K, n)
+    test_w = jnp.stack(te_list).astype(x.dtype)
+
+    # flattened (response x fold) axis for the vmappable algorithms
+    flat_w = train_w.reshape(n_resp * k, n)
+    flat_y = jnp.repeat(ys.T, k, axis=0)                     # (R*K, n)
+
+    def chunked(fn, *args):
+        m = args[0].shape[0]
+        outs = []
+        for s in range(0, m, vmap_chunk):
+            outs.append(fn(*(a[s : s + vmap_chunk] for a in args)))
+        return jnp.concatenate(outs, axis=0)
 
     preds: dict[str, Any] = {}
 
     if "g" in algorithms:
-        fit_g = jax.jit(jax.vmap(lambda w: gam.predict(gam.fit(None, x, y, sample_weight=w, **config.gam), x)))
-        preds["g"] = fit_g(train_w)
+        fit_g = jax.jit(jax.vmap(
+            lambda yy, w: gam.predict(gam.fit(None, x, yy, sample_weight=w, **config.gam), x)
+        ))
+        preds["g"] = chunked(fit_g, flat_y, flat_w)
     if "n" in algorithms:
-        keys = jax.random.split(kn, k)
-        fit_n = jax.jit(jax.vmap(lambda kk, w: _nn_fold(kk, x, y, w, config.nn)))
-        preds["n"] = fit_n(keys, train_w)
+        keys = jax.random.split(kn, n_resp * k)
+        fit_n = jax.jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)))
+        preds["n"] = chunked(fit_n, keys, flat_y, flat_w)
     if "m" in algorithms:
-        fit_m = jax.jit(jax.vmap(lambda w: mars.predict(mars.fit(None, x, y, sample_weight=w, **config.mars), x)))
-        preds["m"] = fit_m(train_w)
+        fit_m = jax.jit(jax.vmap(
+            lambda yy, w: mars.predict(mars.fit(None, x, yy, sample_weight=w, **config.mars), x)
+        ))
+        preds["m"] = chunked(fit_m, flat_y, flat_w)
     if "v" in algorithms:
-        keys = jax.random.split(ks, k)
-        fit_v = jax.jit(jax.vmap(lambda kk, w: svm.predict(svm.fit(kk, x, y, sample_weight=w, **config.svm), x)))
-        preds["v"] = fit_v(keys, train_w)
+        keys = jax.random.split(ks, n_resp * k)
+        fit_v = jax.jit(jax.vmap(
+            lambda kk, yy, w: svm.predict(svm.fit(kk, x, yy, sample_weight=w, **config.svm), x)
+        ))
+        preds["v"] = chunked(fit_v, keys, flat_y, flat_w)
     if "r" in algorithms:
         rows = []
-        fit_r = jax.jit(lambda kk, w: rf.predict(rf.fit(kk, x, y, sample_weight=w, **config.rf), x))
-        for v in range(k):
-            rows.append(fit_r(jax.random.fold_in(kr, v), train_w[v]))
+        fit_r = jax.jit(
+            lambda kk, yy, w: rf.predict(rf.fit(kk, x, yy, sample_weight=w, **config.rf), x)
+        )
+        for i in range(n_resp * k):
+            rows.append(fit_r(jax.random.fold_in(kr, i), flat_y[i], flat_w[i]))
         preds["r"] = jnp.stack(rows)
     if "b" in algorithms:
-        # all outer folds' gbm.step runs batched into one while_loop
-        preds_b, _ = gbm_step.fit_outer_batched(kb, x, y, train_w, **config.brt)
-        preds["b"] = jnp.asarray(preds_b)
-    del krest
+        rows = []
+        for r in range(n_resp):
+            # all outer folds' gbm.step runs batched per response
+            preds_b, _ = gbm_step.fit_outer_batched(
+                jax.random.fold_in(kb, r), x, ys[:, r], train_w[r], **config.brt
+            )
+            rows.append(jnp.asarray(preds_b))
+        preds["b"] = jnp.concatenate(rows, axis=0)
 
-    # fold-major concatenation of test residuals (V73:255-319)
-    test_np = np.asarray(test_w) > 0
+    # fold-major concatenation of test residuals (V73:255-319), per response
+    test_np = np.asarray(test_w) > 0                         # (R, K, n)
+    y_np = np.asarray(ys)
     out: dict[str, np.ndarray] = {}
-    y_np = np.asarray(y)
     for letter, p in preds.items():
-        p_np = np.asarray(p)
-        out[letter] = np.concatenate(
-            [y_np[test_np[v]] - p_np[v][test_np[v]] for v in range(k)]
-        )
+        p_np = np.asarray(p).reshape(n_resp, k, n)
+        out[letter] = np.stack([
+            np.concatenate([
+                y_np[test_np[r, v], r] - p_np[r, v][test_np[r, v]] for v in range(k)
+            ])
+            for r in range(n_resp)
+        ])
+        if single:
+            out[letter] = out[letter][0]
     return out
 
 

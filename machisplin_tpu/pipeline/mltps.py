@@ -338,13 +338,25 @@ def mltps(
     x = jnp.asarray(x, rast_stack.data.dtype)
     letters_pool = SMOOTH_LETTERS if smooth_outputs_only else "bgnmrv"
 
+    # part 1 for ALL responses at once: every (response, fold) model of the
+    # vmappable algorithms trains in one batched program — the TPU-native
+    # replacement for the reference's serial per-layer loop / dead snowfall
+    # fan-out (V73:203, old/...V69.R:936-969)
+    ys_all = np.stack([responses[rn] for rn in responses], axis=1)
+    log.info("=== part 1 — CV of %s over %d response(s) ===", letters_pool, ys_all.shape[1])
+    with timer.phase("cv_all_responses"):
+        cv_all = run_cv(
+            jax.random.fold_in(key, 777), x, jnp.asarray(ys_all, x.dtype),
+            config=config.cv, algorithms=letters_pool,
+        )
+
     results = []
     for i, (name, y_np) in enumerate(responses.items()):
         lkey = jax.random.fold_in(key, i)
         y = jnp.asarray(y_np, x.dtype)
-        log.info("=== layer %s: part 1 — CV of %s ===", name, letters_pool)
-        with timer.phase(f"{name}/cv"):
-            cv_out = run_cv(lkey, x, y, config=config.cv, algorithms=letters_pool)
+        cv_out = {
+            letter: (res[i] if res.ndim == 2 else res) for letter, res in cv_all.items()
+        }
         rmat = residual_matrix(cv_out, letters_pool)
         if config.weight_optimizer == "sweep":
             wres = optimize_weights_sweep(rmat, letters_pool)

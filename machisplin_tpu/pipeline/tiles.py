@@ -86,12 +86,41 @@ def tiles_create(
     )
 
 
-def tiles_id(tiles: TileSet) -> list[dict]:
-    """Tile ordering info (the reference plots red ids; we return the data)."""
-    return [
+def tiles_id(tiles: TileSet, plot: bool = False, save_path: str | None = None) -> list[dict]:
+    """Tile ordering info; the reference plots tile polygons with red id
+    numbers (V73:1289-1292) so users order per-tile results for tiles_merge.
+    ``plot=True`` (or ``save_path``) draws the same diagram via matplotlib
+    when available; the layout data is always returned."""
+    info = [
         {"id": i, "center": c, "extent": e}
         for i, c, e in zip(tiles.ids, tiles.centers, tiles.extents)
     ]
+    if plot or save_path:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return info
+        fig, ax = plt.subplots(figsize=(6, 6))
+        for t in info:
+            xmin, xmax, ymin, ymax = t["extent"]
+            ax.add_patch(
+                plt.Rectangle((xmin, ymin), xmax - xmin, ymax - ymin,
+                              fill=False, edgecolor="black")
+            )
+            ax.text(*t["center"], str(t["id"]), color="red", fontsize=18,
+                    ha="center", va="center")
+        g = tiles.full_grid
+        ax.set_xlim(g.xmin - g.dx, g.xmax + g.dx)
+        ax.set_ylim(g.ymin - g.dy, g.ymax + g.dy)
+        ax.set_xlabel("longitude")
+        ax.set_ylabel("latitude")
+        if save_path:
+            fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+    return info
 
 
 def tiles_merge(

@@ -149,3 +149,14 @@ def test_mltps_writers_integration(tmp_path, rng):
     )
     mt.write_residuals(out, str(tmp_path))
     mt.write_loadings(out, str(tmp_path))
+
+
+def test_tiles_id_plot(tmp_path, rng):
+    g, stack, dat, _ = make_world(rng, nrows=32, ncols=32, n=60)
+    tiles = tiles_create(stack, dat, out_ncol=2, out_nrow=2, feather_d=4)
+    path = str(tmp_path / "tiles.png")
+    info = tiles_id(tiles, save_path=path)
+    assert len(info) == 4 and info[3]["id"] == 4
+    import os
+
+    assert os.path.getsize(path) > 1000
