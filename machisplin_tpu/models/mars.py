@@ -44,7 +44,7 @@ def _design(x, vars_, knots):
     return jnp.concatenate([jnp.ones((x.shape[0], 1), x.dtype), cols], axis=1)
 
 
-def _masked_rss(bmat, ysw, mask, ridge):
+def _masked_rss(bmat, ysw, mask, ridge=None):
     """RSS + coefficients of the OLS fit restricted to mask (0/1 columns).
 
     Two robustness requirements drive this implementation: columns are
@@ -55,6 +55,10 @@ def _masked_rss(bmat, ysw, mask, ridge):
     rank-deficient and the textbook  yy - b'coef  shortcut is numerically
     meaningless there.  The ridge picks one of the equivalent solutions;
     the fit itself is unaffected."""
+    if ridge is None:
+        # f32 needs a much firmer ridge than f64: the hinge Gram is nearly
+        # singular and an underrun here turns whole CV folds non-finite
+        ridge = max(100.0 * float(jnp.finfo(bmat.dtype).eps), 1e-8)
     s = jnp.sqrt(jnp.maximum(jnp.sum(bmat * bmat, axis=0), 1e-30))
     bn = bmat / s[None, :]
     m = mask
@@ -74,7 +78,7 @@ def fit(
     n_pairs: int = 10,
     n_knots: int = 64,
     penalty: float = 2.0,
-    ridge: float = 1e-8,
+    ridge: float | None = None,
 ) -> MARSState:
     del key
     x = jnp.asarray(x)
@@ -221,7 +225,7 @@ def importance(state: MARSState, x, y, names, sample_weight=None) -> dict:
     nterms = []
     for v in range(p):
         mv = state.active * (col_var != v)
-        rss_v, _ = _masked_rss(b, ysw, mv, 1e-8)
+        rss_v, _ = _masked_rss(b, ysw, mv)
         deltas.append(float(rss_v - state.rss))
         nterms.append(int(jnp.sum(state.active * (col_var == v))))
     dmax = max(max(deltas), 1e-12)
