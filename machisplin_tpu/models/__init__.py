@@ -1,4 +1,4 @@
-from . import base, brt, gam, gbm_step, mars, nn, rf, svm, trees
+from . import base, brt, deviance, gam, gbm_step, mars, nn, rf, svm, trees
 from .base import ALGORITHM_LETTERS, LETTER_ORDER, LETTER_TO_NAME
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "LETTER_TO_NAME",
     "base",
     "brt",
+    "deviance",
     "gam",
     "gbm_step",
     "mars",

@@ -160,3 +160,19 @@ def test_tiles_id_plot(tmp_path, rng):
     import os
 
     assert os.path.getsize(path) > 1000
+
+
+def test_predict_over_stack_nan_masking(rng):
+    """Cells with any NaN covariate must predict NaN (terra::predict NA
+    semantics, V73:468 etc.)."""
+    from machisplin_tpu.pipeline.mltps import predict_over_stack
+
+    g = mt.GridSpec(nrows=8, ncols=10, xmin=0, ymax=1, dx=0.1, dy=0.1)
+    data = np.ones((2, 8, 10), np.float32)
+    data[0, 2, 3] = np.nan
+    stack = mt.Raster(jnp.asarray(data), g, ("a", "b"))
+    surf = np.asarray(predict_over_stack(lambda q: q.sum(axis=1), stack, block_rows=3))
+    assert np.isnan(surf[2, 3])
+    mask = np.ones((8, 10), bool)
+    mask[2, 3] = False
+    assert np.allclose(surf[mask], 2.0)
