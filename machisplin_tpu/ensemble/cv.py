@@ -66,6 +66,7 @@ def run_cv(
     config: CVConfig | None = None,
     algorithms: str = "bgnmrv",
     vmap_chunk: int = 64,
+    mesh=None,
 ) -> dict[str, np.ndarray]:
     """Returns {letter: fold-major concatenated test residuals}.
 
@@ -76,8 +77,22 @@ def run_cv(
     gbm.step chains batch per response.  Fold assignment is drawn per
     response, as the reference does inside its layer loop (V73:221).
     Multi-response output is {letter: (R, n_concat)}.
+
+    ``mesh``: optional device mesh — the (response x fold) batch axis of the
+    vmappable algorithms shards across it (each device trains its share of
+    the fold models; x replicates).
     """
     config = config or CVConfig()
+
+    def batched_jit(fn, nargs):
+        """jit a vmapped fold-fitter, sharding its leading batch axis."""
+        if mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P(mesh.axis_names[0]))
+        return jax.jit(fn, in_shardings=(s,) * nargs, out_shardings=s)
+
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     single = y.ndim == 1
@@ -99,34 +114,41 @@ def run_cv(
     flat_w = train_w.reshape(n_resp * k, n)
     flat_y = jnp.repeat(ys.T, k, axis=0)                     # (R*K, n)
 
+    pad_to = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+
     def chunked(fn, *args):
         m = args[0].shape[0]
         outs = []
         for s in range(0, m, vmap_chunk):
-            outs.append(fn(*(a[s : s + vmap_chunk] for a in args)))
+            part = [a[s : s + vmap_chunk] for a in args]
+            mm = part[0].shape[0]
+            rem = (-mm) % pad_to  # sharded batch axes must divide the mesh
+            if rem:
+                part = [jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)]) for a in part]
+            outs.append(fn(*part)[:mm])
         return jnp.concatenate(outs, axis=0)
 
     preds: dict[str, Any] = {}
 
     if "g" in algorithms:
-        fit_g = jax.jit(jax.vmap(
+        fit_g = batched_jit(jax.vmap(
             lambda yy, w: gam.predict(gam.fit(None, x, yy, sample_weight=w, **config.gam), x)
-        ))
+        ), 2)
         preds["g"] = chunked(fit_g, flat_y, flat_w)
     if "n" in algorithms:
         keys = jax.random.split(kn, n_resp * k)
-        fit_n = jax.jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)))
+        fit_n = batched_jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)), 3)
         preds["n"] = chunked(fit_n, keys, flat_y, flat_w)
     if "m" in algorithms:
-        fit_m = jax.jit(jax.vmap(
+        fit_m = batched_jit(jax.vmap(
             lambda yy, w: mars.predict(mars.fit(None, x, yy, sample_weight=w, **config.mars), x)
-        ))
+        ), 2)
         preds["m"] = chunked(fit_m, flat_y, flat_w)
     if "v" in algorithms:
         keys = jax.random.split(ks, n_resp * k)
-        fit_v = jax.jit(jax.vmap(
+        fit_v = batched_jit(jax.vmap(
             lambda kk, yy, w: svm.predict(svm.fit(kk, x, yy, sample_weight=w, **config.svm), x)
-        ))
+        ), 3)
         preds["v"] = chunked(fit_v, keys, flat_y, flat_w)
     if "r" in algorithms:
         rows = []

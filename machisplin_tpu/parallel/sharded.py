@@ -88,7 +88,7 @@ def _predict_tile(model: TPSModel, origin, tile_shape, cell, slab_rows: int = 64
 
 def batched_tile_solve(
     coords, y, mask, *, lam=None, ngrid: int = 200, refine: int = 40,
-    mesh: Mesh | None = None, axis: str = "tile",
+    mesh: Mesh | None = None, axis: str | None = None,
 ) -> TPSModel:
     """Factorise + solve every padded tile in one vmapped (optionally
     shard_mapped) program; returns a TPSModel pytree with a leading tile
@@ -97,7 +97,7 @@ def batched_tile_solve(
     fn = jax.vmap(lambda c, v, m: tps_solve(tps_factor(c, m), v, lam=lam, ngrid=ngrid, refine=refine))
     if mesh is None:
         return fn(coords, y, mask)
-    spec = P(axis)
+    spec = P(axis or mesh.axis_names[0])
     sharded = jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
     )
@@ -122,7 +122,7 @@ def batched_tile_tps(
     ngrid: int = 200,
     refine: int = 40,
     mesh: Mesh | None = None,
-    axis: str = "tile",
+    axis: str | None = None,
 ):
     """Solve + predict every tile; vmapped on one device or shard_mapped over
     a mesh (tile count must divide the mesh axis size when sharded).
@@ -137,7 +137,7 @@ def batched_tile_tps(
     batched = jax.vmap(fn)
     if mesh is None:
         return batched(coords, y, mask, origins)
-    spec = P(axis)
+    spec = P(axis or mesh.axis_names[0])
     sharded = jax.shard_map(
         lambda c, v, m, o: batched(c, v, m, o),
         mesh=mesh,

@@ -74,6 +74,11 @@ class MLTPSConfig:
     predict_block_rows: int = 256
     svm_importance_sample: int = 200  # V73:564
     use_pallas: bool | None = None
+    # device mesh for multi-chip runs: TPS tiles shard across it (spatial
+    # parallelism over the reference's serial tile loop, V73:690-738), raster
+    # prediction shards row panels, and the vmappable CV algorithms shard
+    # their (response x fold) batch axis.  None = single device.
+    mesh: Any = None
 
 
 @dataclasses.dataclass
@@ -91,25 +96,44 @@ class LayerResult:
     weights: WeightResult | None = None
 
 
-def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256):
+def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256, mesh=None):
     """Stream model prediction over the grid in row blocks -> (H, W).
 
     Replaces terra::predict(rast_stack, model) (V73:468/497/521/543/582/604).
     Cells with any NaN covariate predict NaN.  Functions marked
     ``prefers_host=True`` (tree ensembles routed to the C++ predictor) are
-    called with concrete blocks instead of being jitted.
+    called with concrete blocks instead of being jitted.  With a ``mesh``,
+    each block's cell rows shard across the devices (the model parameters
+    replicate — dp over cells), so every chip predicts its panel of the grid.
     """
     c, h, w = rast_stack.data.shape
     rows = []
     host = getattr(predict_fn, "prefers_host", False)
-    fn = predict_fn if host else jax.jit(predict_fn)
+
+    def masked(x):
+        ok = jnp.all(jnp.isfinite(x), axis=1)
+        pred = predict_fn(jnp.where(ok[:, None], x, 0.0))
+        return jnp.where(ok, pred, jnp.nan)
+
+    pad_to = 1
+    if host:
+        fn = masked
+    elif mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P(mesh.axis_names[0]))
+        fn = jax.jit(masked, in_shardings=s, out_shardings=s)
+        pad_to = int(np.prod(mesh.devices.shape))
+    else:
+        fn = jax.jit(masked)
     for r0 in range(0, h, block_rows):
         blk = rast_stack.data[:, r0 : r0 + block_rows, :]
         x = jnp.moveaxis(blk, 0, -1).reshape(-1, c)
-        ok = jnp.all(jnp.isfinite(x), axis=1)
-        pred = fn(jnp.where(ok[:, None], x, 0.0))
-        pred = jnp.where(ok, pred, jnp.nan)
-        rows.append(pred.reshape(blk.shape[1], w))
+        m = x.shape[0]
+        rem = (-m) % pad_to  # sharded cell axis must divide the mesh
+        if rem:
+            x = jnp.concatenate([x, jnp.full((rem, c), jnp.nan, x.dtype)])
+        rows.append(fn(x)[:m].reshape(blk.shape[1], w))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -283,6 +307,39 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
     yt = yt.astype(dtype)
     mt_ = mt_.astype(dtype)
 
+    if config.mesh is not None:
+        # multi-chip: one shard_mapped solve+predict program — each device
+        # factorises its tile batch and evaluates its surface block (spatial
+        # parallelism over the reference's serial tile loop, V73:690-738).
+        # Edge tiles are smaller; all evaluate at the maximal tile shape from
+        # traced origins and crop down (identical cell lattice: every tile
+        # grid is a crop of the master grid).
+        from ..parallel.sharded import batched_tile_tps
+
+        n_dev = int(np.prod(config.mesh.devices.shape))
+        n_live = len(live)
+        pad_t = -(-n_live // n_dev) * n_dev - n_live
+        if pad_t:
+            rep = lambda a: jnp.concatenate([a, jnp.repeat(a[:1], pad_t, axis=0)], axis=0)
+            ct, yt, mt_ = rep(ct), rep(yt), rep(mt_)
+        origins = jnp.asarray(
+            [(crops[h].grid.xmin, crops[h].grid.ymax) for h in live]
+            + [(crops[live[0]].grid.xmin, crops[live[0]].grid.ymax)] * pad_t,
+            dtype,
+        )
+        g0 = crops[live[0]].grid
+        rows_max = max(crops[h].grid.nrows for h in live)
+        cols_max = max(crops[h].grid.ncols for h in live)
+        out = batched_tile_tps(
+            ct, yt, mt_, origins,
+            tile_shape=(rows_max, cols_max), cell=(g0.dx, g0.dy),
+            mesh=config.mesh,
+        )
+        for i, h in enumerate(live):
+            g = crops[h].grid
+            surfs[h] = Raster(out[i][: g.nrows, : g.ncols], g)
+        return surfs
+
     # solves batch (vmapped masked factorisations); predictions stream per
     # tile through the Pallas grid kernel, which never materialises the
     # (cells x knots) matrix (a full-res tile would need tens of GB)
@@ -347,7 +404,7 @@ def mltps(
     with timer.phase("cv_all_responses"):
         cv_all = run_cv(
             jax.random.fold_in(key, 777), x, jnp.asarray(ys_all, x.dtype),
-            config=config.cv, algorithms=letters_pool,
+            config=config.cv, algorithms=letters_pool, mesh=config.mesh,
         )
 
     results = []
@@ -378,7 +435,9 @@ def mltps(
                 predict_fn, imp = _fit_final(letter, fkey, x, y, covar_names, config)
             var_imp[LETTER_TO_NAME[letter]] = imp
             with timer.phase(f"{name}/raster_predict_{letter}"):
-                surf = predict_over_stack(predict_fn, rast_stack, config.predict_block_rows)
+                surf = predict_over_stack(
+                    predict_fn, rast_stack, config.predict_block_rows, mesh=config.mesh
+                )
             pt_pred = predict_fn(x)
             contrib_r = (y - pt_pred) * wgt
             pred_acc = surf * wgt if pred_acc is None else pred_acc + surf * wgt
@@ -413,12 +472,15 @@ def mltps(
             rss_final = float(np.nansum((y_np - f_at) ** 2))
             rsq_final = 1.0 - rss_final / tss
             summary["r2 final:"] = rsq_final
+            # the reference overwrites $residuals from the summed raster
+            # UNCONDITIONALLY inside the tps==TRUE block (V73:914), even when
+            # the correction is then discarded by the keep rule
+            residuals_out = np.stack(
+                [y_np - f_at, coords[:, 0], coords[:, 1]], axis=1
+            )
             # keep the correction only if it improves R^2 (V73:925-930)
             if rsq_final > rsq_model:
                 final_raster = final_c
-                residuals_out = np.stack(
-                    [y_np - f_at, coords[:, 0], coords[:, 1]], axis=1
-                )
         log.info("timing so far:\n%s", timer.report())
         results.append(
             LayerResult(

@@ -1,6 +1,8 @@
 """End-to-end pipeline tests: mltps on a small synthetic world + the tiling
 toolkit (reference workflows: README Example 1 and the tiles.create/merge
 large-landscape recipe, README.md:157-215)."""
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -78,6 +80,14 @@ def test_mltps_keeps_better_surface(rng):
         np.testing.assert_allclose(
             np.asarray(r.final.data), np.asarray(r.ensemble.data), equal_nan=True
         )
+    # $residuals always comes from the TPS-summed raster under tps=True, even
+    # when the correction is discarded by the keep rule (reference quirk,
+    # V73:914 runs unconditionally inside the tps==TRUE block)
+    summed = mt.Raster(
+        np.asarray(r.ensemble.data) + np.asarray(r.tps_surface.data), g
+    )
+    at = np.asarray(extract(summed, dat["long"], dat["lat"]))
+    np.testing.assert_allclose(resp - at, r.residuals[:, 0], atol=1e-6)
 
 
 def test_mltps_no_tps(rng):
@@ -160,6 +170,65 @@ def test_tiles_id_plot(tmp_path, rng):
     import os
 
     assert os.path.getsize(path) > 1000
+
+
+def test_mltps_mesh_matches_single_device(rng):
+    """The production pipeline run on an 8-device mesh (sharded CV batch,
+    sharded raster prediction panels, shard_mapped TPS tile solves) must agree
+    with the single-device run — the multi-chip path is a pure execution-layout
+    change (SURVEY.md §2.2)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from machisplin_tpu.parallel import make_mesh
+
+    g, stack, dat, _ = make_world(rng, n=150)
+    # small tile budget forces the multi-tile sharded TPS path (9 tiles)
+    cfg1 = dataclasses.replace(FAST, tps_tile_px=20, min_tile_points=5)
+    cfg8 = dataclasses.replace(cfg1, mesh=make_mesh(8))
+    out1 = mt.mltps(dat, stack, tps=True, config=cfg1)[0]
+    out8 = mt.mltps(dat, stack, tps=True, config=cfg8)[0]
+    assert out1.summary["best model(s):"] == out8.summary["best model(s):"]
+    # Sharded fold training reorders float accumulation (~1e-6 in trained
+    # weights); the GCV argmin then amplifies that into a slightly different
+    # residual-spline lambda, so end-to-end agreement is statistical, not
+    # bitwise.  test_tps_error_surface_mesh_exact pins the sharded TPS path
+    # itself to ~1e-14 on identical inputs.
+    np.testing.assert_allclose(
+        out1.summary["r2 ensemble:"], out8.summary["r2 ensemble:"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        out1.summary["r2 final:"], out8.summary["r2 final:"], rtol=1e-3
+    )
+    scale = float(np.nanmax(np.abs(np.asarray(out1.final.data))))
+    np.testing.assert_allclose(
+        np.asarray(out1.final.data) / scale, np.asarray(out8.final.data) / scale,
+        atol=1e-3, equal_nan=True,
+    )
+
+
+def test_tps_error_surface_mesh_exact(rng):
+    """The shard_mapped tile TPS path must match the single-device path to
+    float64 noise on identical residual inputs (pure execution-layout change)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from machisplin_tpu.parallel import make_mesh
+    from machisplin_tpu.pipeline.mltps import _tps_error_surface
+
+    g, stack, dat, _ = make_world(rng, n=150)
+    coords = np.stack([dat["long"], dat["lat"]], 1)
+    res = np.sin(5 * coords[:, 0]) * np.cos(4 * coords[:, 1])
+    cfg1 = dataclasses.replace(FAST, tps_tile_px=20, min_tile_points=5)
+    cfg8 = dataclasses.replace(cfg1, mesh=make_mesh(8))
+    s1, t1 = _tps_error_surface(coords, res, stack, cfg1)
+    s8, t8 = _tps_error_surface(coords, res, stack, cfg8)
+    assert t1 == t8 == 9
+    np.testing.assert_allclose(
+        np.asarray(s1.data), np.asarray(s8.data), rtol=1e-10, atol=1e-12
+    )
 
 
 def test_predict_over_stack_nan_masking(rng):
