@@ -51,6 +51,12 @@ def ensemble_objective(weights, residuals):
     return jnp.sum(mix * mix, axis=-1)
 
 
+def _fmt_r(x: float) -> str:
+    """round(x, 1) printed the way R prints it (no trailing '.0')."""
+    s = f"{np.round(float(x), 1):.1f}"
+    return s[:-2] if s.endswith(".0") else s
+
+
 def _select(weights: np.ndarray, letters: Sequence[str], objective: float) -> WeightResult:
     weights = np.asarray(weights, np.float64)
     total = float(np.sum(weights))
@@ -65,13 +71,22 @@ def _select(weights: np.ndarray, letters: Sequence[str], objective: float) -> We
         a = int(np.argmax(weights))
         kept_letters, kept = [letters[a]], [np.round(weights[a], 2)]
     kept = np.asarray(kept)
-    pct = [f"{np.round(w / kept.sum() * 100, 1)}" for w in kept]
+    # percentage text exactly as the reference assembles it (V73:408-428):
+    # round(w / kept_total * 100, 1) joined by ":" — a single kept model
+    # therefore prints "100"; the reference's `if (txt == 1) txt <- "none"`
+    # remap (V73:429) only fires on the literal value 1, which the normal
+    # flow never produces, so it is preserved verbatim rather than applied
+    # to every single-model ensemble.
+    pct = [_fmt_r(w / kept.sum() * 100) for w in kept]
+    text = ":".join(pct)
+    if text == "1":
+        text = "none"
     return WeightResult(
         weights=weights,
         letters="".join(kept_letters),
         kept_weights=kept,
         weight_total=total,
-        percent_text=":".join(pct) if len(pct) > 1 else "none",
+        percent_text=text,
         objective=float(objective),
     )
 
@@ -119,13 +134,13 @@ def optimize_weights_aicc(residuals, letters: Sequence[str] = LETTER_ORDER) -> W
     weights = np.asarray(best, np.float64)
     kept = [letters[i] for i in range(a) if weights[i] > 0]
     kw = weights[weights > 0]
-    pct = [f"{np.round(100.0 / len(kw), 1)}" for _ in kw]
+    pct = [_fmt_r(100.0 / len(kw)) for _ in kw]
     return WeightResult(
         weights=weights,
         letters="".join(kept),
         kept_weights=kw,
         weight_total=float(weights.sum()),
-        percent_text=":".join(pct) if len(pct) > 1 else "none",
+        percent_text=":".join(pct),
         objective=float(rss[jnp.argmin(aicc)]),
     )
 

@@ -98,11 +98,18 @@ def _cv_deviance_curve(
         del f, keys_used
         not_done = j < max_cp
         warmed = j >= 20
+        # reference windows (V73:1957-1961): test1 = last 10 checkpoints;
+        # test2 = the 11 checkpoints before-and-including test1's first - 1
+        # (they overlap at R index j-9)
         test1 = jnp.mean(
             jax.lax.dynamic_slice(dev, (jnp.maximum(j - win, 0), 0), (win, n_folds)), axis=0
         )
+        win2 = min(win + 1, max_cp)  # static guard; rule only fires at j >= 20
         test2 = jnp.mean(
-            jax.lax.dynamic_slice(dev, (jnp.maximum(j - 2 * win, 0), 0), (win, n_folds)), axis=0
+            jax.lax.dynamic_slice(
+                dev, (jnp.maximum(j - 2 * win, 0), 0), (win2, n_folds)
+            ),
+            axis=0,
         )
         delta = jnp.mean(test2 - test1)   # mean over folds of checkpoint means
         return not_done & ((~warmed) | (delta > tolerance))
@@ -214,8 +221,11 @@ def _cv_deviance_curve_multi(
         dev[j] = np.asarray(dev_j)
         mean_curve = dev[: j + 1].mean(axis=2)               # (j+1, F)
         if j + 1 >= 20:
+            # reference windows (V73:1957-1961, 1-indexed): test1 =
+            # mean(cv[(j-9):j]) — 10 values; test2 = mean(cv[(j-19):(j-9)]) —
+            # 11 values OVERLAPPING test1 at checkpoint j-9
             test1 = mean_curve[j + 1 - win : j + 1].mean(axis=0)
-            test2 = mean_curve[j + 1 - 2 * win : j + 1 - win].mean(axis=0)
+            test2 = mean_curve[j + 1 - 2 * win : j + 2 - win].mean(axis=0)
             fire = ((test2 - test1) <= tolerance) & (stopped > max_cp)
             stopped[fire] = j + 1
         j += 1

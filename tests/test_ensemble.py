@@ -108,6 +108,16 @@ def test_percent_text_format(rng):
         assert pytest.approx(sum(float(p) for p in parts), abs=0.5) == 100.0
 
 
+def test_percent_text_single_model_prints_100(rng):
+    """A single-model ensemble prints '100' like the reference summary does;
+    the reference's txt==1 -> 'none' remap (V73:429) never fires on the
+    normal flow."""
+    res = np.stack([0.01 * rng.standard_normal(50)])  # one algorithm only
+    out = optimize_weights_lbfgsb(res, letters="b")
+    assert out.letters == "b"
+    assert out.percent_text == "100"
+
+
 SMALL_CV = CVConfig(
     n_folds=4,
     brt=dict(tree_complexity=3, learning_rate=0.1, step_size=20, max_trees=100),
