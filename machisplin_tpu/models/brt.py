@@ -49,10 +49,21 @@ def fit(
     n_trees_active=None,
     edges=None,
     xb=None,
+    family: str = "gaussian",
 ) -> BRTState:
-    """Train a gaussian BRT.  ``n_trees`` is the static budget; if
-    ``n_trees_active`` (traced scalar) is given, later trees still train but
-    contribute nothing — the bucketing hook used by gbm_step's final refit."""
+    """Train a BRT.  ``n_trees`` is the static budget; if ``n_trees_active``
+    (traced scalar) is given, later trees still train but contribute nothing
+    — the bucketing hook used by gbm_step's final refit.
+
+    ``family``: gaussian / laplace / poisson / bernoulli (gbm's distribution
+    argument, V73:1773).  Trees are least-squares fits to the negative
+    gradient with family-correct terminal-node re-estimation
+    (models/families.py); deviance curves are on the response scale.
+    """
+    from .deviance import calc_deviance
+    from .families import f0_init, gradient, leaf_adjust, response
+    from .trees import tree_assign
+
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n, p = x.shape
@@ -62,24 +73,31 @@ def fit(
     if xb is None:
         xb = bin_data(x, edges)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
-    f0 = jnp.sum(w * y) / wsum
+    f0 = f0_init(y, w, family)
     if n_trees_active is None:
         n_trees_active = jnp.asarray(n_trees)
     active = (jnp.arange(n_trees) < n_trees_active).astype(x.dtype)
 
     test_w = (w <= 0).astype(x.dtype)
     test_sum = jnp.maximum(jnp.sum(test_w), 1.0)
+    n_total = 2 * n_splits + 1
 
     def step(carry, inp):
         f = carry
         key_t, act = inp
         bag = (jax.random.uniform(key_t, (n,)) < bag_fraction).astype(x.dtype) * w
-        resid = y - f
-        tree = grow_bestfirst_tree(xb, edges, resid, bag, n_splits=n_splits, min_leaf=min_leaf)
+        z = gradient(y, f, family)
+        tree = grow_bestfirst_tree(xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf)
+        if family != "gaussian":
+            cur = tree_assign(tree, x, n_splits)
+            tree = tree._replace(
+                value=leaf_adjust(tree.value, cur, n_total, y, f, bag, family)
+            )
         upd = lr * tree_predict(tree, x, n_splits) * act
         f = f + upd
-        train_dev = jnp.sum(w * (y - f) ** 2) / wsum
-        hold_dev = jnp.sum(test_w * (y - f) ** 2) / test_sum
+        u = response(f, family)
+        train_dev = calc_deviance(y, u, weights=w, family=family)
+        hold_dev = calc_deviance(y, u, weights=test_w, family=family)
         return f, (tree, train_dev, hold_dev)
 
     keys = jax.random.split(key, n_trees)

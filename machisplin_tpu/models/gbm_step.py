@@ -4,31 +4,39 @@ Re-implements the vendored Elith/Leathwick driver the reference uses for BRT
 (machisplin.gbm.step, V73:1660-2239) with its exact selection semantics:
 
 * k-fold selector: rep(1..n_folds) over the rows, randomly shuffled
-  (V73:1749-1751);
-* per-fold gaussian boosting grown in ``step_size``-tree cycles
-  (V73:1884-1967), recording mean holdout deviance at each checkpoint;
-* stop when the improvement between the means of the last 10 and previous 10
-  checkpoints drops to ``tolerance`` (auto = 0.001 x total mean deviance,
-  V73:1957-1961) or ``max_trees`` is reached;
+  (V73:1749-1751), prevalence-stratified for bernoulli (V73:1736-1748);
+* per-fold boosting grown in ``step_size``-tree cycles (V73:1884-1967),
+  recording mean holdout deviance at each checkpoint; each fold's split
+  candidates come from ITS OWN training subset's quantiles (per-fold bin
+  edges — the per-fold ``gbm::gbm`` calls see only their subset);
+* families gaussian / laplace / poisson / bernoulli (V73:1673, via
+  models/families.py) with the driver's manual response transforms
+  (V73:1837-1851);
+* the "restart with a smaller learning rate" abort when holdout deviance
+  rises within the first 4 added cycles (V73:1948-1955) — the reference
+  returns NULL and asks the user to restart by hand; this driver AUTOMATES
+  the restart (lr/2, up to ``max_restarts`` times) and records it;
+* stop when the improvement between the mean of the last 10 checkpoints and
+  the overlapping 11-checkpoint window before them drops to ``tolerance``
+  (auto = 0.001 x total mean deviance, V73:1957-1961) or ``max_trees``;
 * best.trees = the first checkpoint attaining the minimum mean holdout
   deviance (V73:1978-1983);
-* final model refit on all rows with best.trees trees (V73:2100-2124).
-
-Deviations (documented): the "restart with a smaller learning rate" early
-abort (V73:1948-1955) is not replicated — training simply continues, and the
-checkpoint argmin lands in the same place; per-fold models share quantile bin
-edges computed on the full training subset (binning is already an
-approximation the C++ gbm does not make).
+* final model refit on all rows with best.trees trees (V73:2100-2124), plus
+  the reference's CV/self statistics blocks (V73:2014-2096, 2115-2152):
+  per-fold deviance/correlation at best.trees with means and SEs, fitted
+  values and their between-fold variances, family-correct residuals.
 
 TPU-native: the fold dimension is vmapped inside a single ``lax.while_loop``
 over growth cycles, so all 10 fold models advance in lockstep on one chip;
-the final refit reuses bucketed static tree budgets to bound recompiles.
+per-checkpoint fold scores are checkpointed into a ring so the CV statistics
+at best.trees need no refit; the final refit reuses bucketed static tree
+budgets to bound recompiles.
 """
 from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +44,15 @@ import numpy as np
 
 from . import brt
 from .base import as_weight
-from .trees import bin_data, grow_bestfirst_tree, make_bins, tree_predict
+from .deviance import calc_deviance
+from .families import f0_init, gradient, leaf_adjust, response
+from .trees import (
+    bin_data,
+    grow_bestfirst_tree,
+    make_bins_masked,
+    tree_assign,
+    tree_predict,
+)
 
 
 class GBMStepResult(NamedTuple):
@@ -45,57 +61,117 @@ class GBMStepResult(NamedTuple):
     trees_fitted: int            # how many trees the CV loop actually grew
     cv_deviance: jax.Array       # (max_checkpoints,) mean holdout deviance (inf = not reached)
     cv_deviance_se: jax.Array    # (max_checkpoints,) between-fold standard errors
+    family: str = "gaussian"
+    learning_rate: float | None = None   # rate actually used (after restarts)
+    restarts: int = 0                    # automated lr/2 restarts (V73:1948-1955)
+    selector: np.ndarray | None = None   # (n,) fold membership (keep.fold.vector)
+    training_deviance: jax.Array | None = None  # (max_checkpoints,) mean train deviance
+    fitted: np.ndarray | None = None     # (n,) final-model fitted values (response scale)
+    residuals: np.ndarray | None = None  # (n,) family-correct residuals (V73:2134-2151)
+    fitted_vars: np.ndarray | None = None  # (n,) between-fold variance of fitted values
+    fold_fit: np.ndarray | None = None   # (n,) held-out linear predictor at best.trees
+    self_statistics: dict[str, Any] | None = None  # V73:2190-2192
+    cv_statistics: dict[str, Any] | None = None    # V73:2194-2197
+
+
+def _np_seed(key):
+    """numpy seed material from a jax PRNG key (old-style or typed)."""
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:
+        data = key
+    return np.asarray(data).ravel()
+
+
+def _make_selector(key, y, w, n_folds, *, family="gaussian", prev_stratify=True):
+    """Fold membership, host-side: rep(1..k) shuffled over the active rows
+    (V73:1749-1751); prevalence-stratified within presence/absence groups for
+    bernoulli (V73:1736-1748).  Inactive rows (w <= 0) receive folds too but
+    carry zero weight everywhere downstream."""
+    y = np.asarray(y)
+    w = np.asarray(w)
+    n = y.shape[0]
+    rng = np.random.default_rng(_np_seed(key))
+    selector = np.zeros(n, np.int32)
+
+    def assign(mask):
+        m = int(mask.sum())
+        if m == 0:
+            return
+        temp = (np.arange(m) % n_folds).astype(np.int32)
+        selector[mask] = temp[rng.permutation(m)]
+
+    active = w > 0
+    if prev_stratify and family == "bernoulli":
+        assign(active & (y == 1))
+        assign(active & (y == 0))
+    else:
+        assign(active)
+    assign(~active)
+    return selector
 
 
 def _cv_deviance_curve(
-    key, x, y, w, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
-    step_size, max_trees, tolerance, n_bins,
+    key, x, y, w, selector, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
+    step_size, max_trees, tolerance, n_bins, family="gaussian",
 ):
-    n, p = x.shape
-    edges = make_bins(x, n_bins)
-    xb = bin_data(x, edges)
+    """Fold-vmapped CV deviance curve under one ``lax.while_loop``.
 
-    # fold selector: rep(1..k) shuffled over the active rows (V73:1749-1751)
-    kfold, kboost = jax.random.split(key)
-    order = jnp.argsort(jax.random.uniform(kfold, (n,)) + (w <= 0) * 10.0)
-    seq = (jnp.arange(n) % n_folds).astype(jnp.int32)
-    selector = jnp.zeros((n,), jnp.int32).at[order].set(seq)
+    Returns (j, dev (max_cp, k), tdev (max_cp, k), fhist (max_cp, k, n)) —
+    fhist checkpoints every fold's link-scale fit so the CV statistics at
+    best.trees need no refit."""
+    n, p = x.shape
 
     fold_ids = jnp.arange(n_folds)
     train_w = (selector[None, :] != fold_ids[:, None]).astype(x.dtype) * w[None, :]
     test_w = (selector[None, :] == fold_ids[:, None]).astype(x.dtype) * w[None, :]
-    test_sum = jnp.maximum(jnp.sum(test_w, axis=1), 1.0)
-    train_sum = jnp.maximum(jnp.sum(train_w, axis=1), 1.0)
-    f0 = jnp.sum(train_w * y[None, :], axis=1) / train_sum       # (k,)
+    # per-fold split candidates from each fold's own training subset
+    edges_k = jax.vmap(lambda wk: make_bins_masked(x, wk, n_bins))(train_w)  # (k, p, nb-1)
+    xb_k = jax.vmap(lambda e: bin_data(x, e))(edges_k)                       # (k, n, p)
+    f0 = jax.vmap(lambda wk: f0_init(y, wk, family))(train_w)                # (k,)
 
     max_cp = max_trees // step_size
+    n_total = 2 * n_splits + 1
 
     def grow_cycle(key_c, f):
-        """Advance every fold by step_size trees; f is (k, n)."""
+        """Advance every fold by step_size trees; f is (k, n) link scale."""
 
         def tree_step(f, key_t):
-            def per_fold(f_k, w_k, key_k):
+            def per_fold(f_k, w_k, xb_f, edges_f, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
+                z = gradient(y, f_k, family)
                 tree = grow_bestfirst_tree(
-                    xb, edges, y - f_k, bag, n_splits=n_splits, min_leaf=min_leaf
+                    xb_f, edges_f, z, bag, n_splits=n_splits, min_leaf=min_leaf
                 )
+                if family != "gaussian":
+                    cur = tree_assign(tree, x, n_splits)
+                    tree = tree._replace(
+                        value=leaf_adjust(tree.value, cur, n_total, y, f_k, bag, family)
+                    )
                 return f_k + lr * tree_predict(tree, x, n_splits)
 
             fold_keys = jax.random.split(key_t, n_folds)
-            return jax.vmap(per_fold)(f, train_w, fold_keys), None
+            return jax.vmap(per_fold)(f, train_w, xb_k, edges_k, fold_keys), None
 
         keys = jax.random.split(key_c, step_size)
         f, _ = jax.lax.scan(tree_step, f, keys)
         return f
 
-    def holdout_dev(f):
-        return jnp.sum(test_w * (y[None, :] - f) ** 2, axis=1) / test_sum   # (k,)
+    def fold_devs(f):
+        u = response(f, family)                                  # (k, n)
+        dev = jax.vmap(
+            lambda uk, twk: calc_deviance(y, uk, weights=twk, family=family)
+        )(u, test_w)
+        tdev = jax.vmap(
+            lambda uk, twk: calc_deviance(y, uk, weights=twk, family=family)
+        )(u, train_w)
+        return dev, tdev
 
     win = min(10, max_cp)  # static; the rule only ever fires when j >= 20
 
     def cond(carry):
-        j, f, dev, keys_used = carry
-        del f, keys_used
+        j, f, dev, tdev, fhist, keys_used = carry
+        del f, tdev, fhist, keys_used
         not_done = j < max_cp
         warmed = j >= 20
         # reference windows (V73:1957-1961): test1 = last 10 checkpoints;
@@ -115,16 +191,23 @@ def _cv_deviance_curve(
         return not_done & ((~warmed) | (delta > tolerance))
 
     def body(carry):
-        j, f, dev, key_j = carry
+        j, f, dev, tdev, fhist, key_j = carry
         key_j, key_c = jax.random.split(key_j)
         f = grow_cycle(key_c, f)
-        dev = dev.at[j].set(holdout_dev(f))
-        return j + 1, f, dev, key_j
+        d, td = fold_devs(f)
+        dev = dev.at[j].set(d)
+        tdev = tdev.at[j].set(td)
+        fhist = fhist.at[j].set(f)
+        return j + 1, f, dev, tdev, fhist, key_j
 
     f_init = jnp.broadcast_to(f0[:, None], (n_folds, n)).astype(x.dtype)
     dev_init = jnp.full((max_cp, n_folds), jnp.inf, x.dtype)
-    j, _, dev, _ = jax.lax.while_loop(cond, body, (0, f_init, dev_init, kboost))
-    return j, dev, edges
+    tdev_init = jnp.full((max_cp, n_folds), jnp.inf, x.dtype)
+    fhist_init = jnp.zeros((max_cp, n_folds, n), x.dtype)
+    j, _, dev, tdev, fhist, _ = jax.lax.while_loop(
+        cond, body, (0, f_init, dev_init, tdev_init, fhist_init, key)
+    )
+    return j, dev, tdev, fhist
 
 
 @functools.lru_cache(maxsize=32)
@@ -137,13 +220,15 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
 
     @jax.jit
     def cycle(key_c, fmat, xb, edges, x, y, train_w, test_w, test_sum):
+        # xb (F, K, n, p) / edges (F, K, p, nb-1): every (outer, inner) chain
+        # bins on ITS OWN training subset's quantiles (per-fold gbm calls)
         f_outer, n_folds, n = fmat.shape
 
         def tree_step(fm, key_t):
-            def per_model(f_k, w_k, key_k):
+            def per_model(f_k, w_k, xb_k, edges_k, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
                 tree = grow_bestfirst_tree(
-                    xb, edges, y - f_k, bag, n_splits=n_splits, min_leaf=min_leaf
+                    xb_k, edges_k, y - f_k, bag, n_splits=n_splits, min_leaf=min_leaf
                 )
                 return f_k + lr * tree_predict(tree, x, n_splits)
 
@@ -153,6 +238,8 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
             flat = jax.vmap(per_model)(
                 fm.reshape(f_outer * n_folds, n),
                 train_w.reshape(f_outer * n_folds, n),
+                xb.reshape((f_outer * n_folds,) + xb.shape[2:]),
+                edges.reshape((f_outer * n_folds,) + edges.shape[2:]),
                 keys,
             )
             return flat.reshape(f_outer, n_folds, n), None
@@ -176,10 +263,8 @@ def _cv_deviance_curve_multi(
     tree step — in bounded jitted cycle programs with the checkpoint/stop
     bookkeeping on the host; each outer fold freezes at its own stopping
     checkpoint (the reference's rule applied per gbm.step run).  Returns
-    (stopped_at (F,), dev (max_cp, F, K), edges, binned x)."""
+    (stopped_at (F,), dev (max_cp, F, K), per-chain edges, per-chain xb)."""
     n, p = x.shape
-    edges = make_bins(x, n_bins)
-    xb = bin_data(x, edges)
     f_outer = w_outer.shape[0]
 
     kfold, kboost = jax.random.split(key)
@@ -199,6 +284,9 @@ def _cv_deviance_curve_multi(
         (selectors[:, None, :] == fold_ids[None, :, None]).astype(x.dtype)
         * w_outer[:, None, :]
     )
+    # per-(outer, inner) split candidates from each chain's training subset
+    edges = jax.vmap(jax.vmap(lambda wk: make_bins_masked(x, wk, n_bins)))(train_w)
+    xb = jax.vmap(jax.vmap(lambda e: bin_data(x, e)))(edges)  # (F, K, n, p)
     test_sum = jnp.maximum(jnp.sum(test_w, axis=2), 1.0)     # (F, K)
     train_sum = jnp.maximum(jnp.sum(train_w, axis=2), 1.0)
     f0 = jnp.sum(train_w * y[None, None, :], axis=2) / train_sum
@@ -250,7 +338,8 @@ def fit_outer_batched(
     n_bins: int = 64,
     outer_chunk: int = 5,
 ):
-    """gbm.step for ALL outer CV folds at once (the run_cv fast path).
+    """gbm.step for ALL outer CV folds at once (the run_cv fast path;
+    gaussian only — the only family mltps's CV uses, V73:247).
 
     outer_train_w: (F, n) per-outer-fold training masks.  Returns
     (predictions (F, n) from each fold's best.trees refit, best_trees (F,)).
@@ -283,7 +372,6 @@ def fit_outer_batched(
     )
     chunk = max(1, min(outer_chunk, f_outer))
     stopped_parts, cv_parts = [], []
-    edges = xb = None
     for s in range(0, f_outer, chunk):
         w_c = outer_train_w[s : s + chunk]
         if w_c.shape[0] < chunk:  # pad to the compiled chunk width
@@ -292,7 +380,7 @@ def fit_outer_batched(
         tol_c = tolerance[s : s + chunk] if isinstance(tolerance, np.ndarray) else tolerance
         if isinstance(tol_c, np.ndarray) and tol_c.shape[0] < chunk:
             tol_c = np.concatenate([tol_c, tol_c[: chunk - tol_c.shape[0]]])
-        stopped_c, dev_c, edges, xb = curve_fn(jax.random.fold_in(kcv, s), w_c, tol_c)
+        stopped_c, dev_c, _, _ = curve_fn(jax.random.fold_in(kcv, s), w_c, tol_c)
         stopped_parts.append(np.asarray(stopped_c))
         cv_parts.append(np.asarray(jnp.mean(dev_c, axis=2)))
     stopped = np.concatenate(stopped_parts)[:f_outer]
@@ -303,16 +391,20 @@ def fit_outer_batched(
         best_trees[f] = (int(np.argmin(cv_mean[:j_f, f])) + 1) * step_size
 
     budget = int(-(-best_trees.max() // step_size) * step_size)
+    # each outer fold's final refit bins on ITS training subset's quantiles
+    edges_f = jax.vmap(lambda wf: make_bins_masked(x, wf, n_bins))(outer_train_w)
+    xb_f = jax.vmap(lambda e: bin_data(x, e))(edges_f)
     fit_one = jax.jit(
-        lambda k, w, nt: brt.fit(
+        lambda k, w, nt, e, xbk: brt.fit(
             k, x, y, sample_weight=w,
             n_trees=budget, n_splits=tree_complexity, lr=learning_rate,
             bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
-            n_trees_active=nt, edges=edges, xb=xb,
+            n_trees_active=nt, edges=e, xb=xbk,
         )
     )
     finals = jax.vmap(fit_one)(
-        jax.random.split(kfinal, f_outer), outer_train_w, jnp.asarray(best_trees)
+        jax.random.split(kfinal, f_outer), outer_train_w, jnp.asarray(best_trees),
+        edges_f, xb_f,
     )
     # n_splits is static; predict through forest_predict directly so the
     # routing depth stays a Python int under vmap
@@ -345,42 +437,132 @@ def fit(
     tolerance: float | None = None,
     min_leaf: float = 10.0,
     n_bins: int = 64,
+    family: str = "gaussian",
+    prev_stratify: bool = True,
+    max_restarts: int = 3,
 ) -> GBMStepResult:
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    w = as_weight(sample_weight, x.shape[0], x.dtype)
+    n = x.shape[0]
+    w = as_weight(sample_weight, n, x.dtype)
+    n_active = float(np.maximum(np.asarray(jnp.sum(w > 0)), 1))
+    # total deviance of the intercept-only model (V73:1786-1796)
+    u0 = response(jnp.full((n,), f0_init(y, w, family)), family)
+    total_deviance = float(calc_deviance(y, u0, weights=w, family=family, calc_mean=False))
+    mean_total_deviance = total_deviance / n_active
     if tolerance is None:
-        # "auto": 0.001 * total mean deviance (variance of y on active rows)
-        wsum = jnp.maximum(jnp.sum(w), 1.0)
-        ybar = jnp.sum(w * y) / wsum
-        tolerance = 0.001 * float(jnp.sum(w * (y - ybar) ** 2) / wsum)
+        tolerance = 0.001 * mean_total_deviance  # tolerance.method "auto"
 
-    kcv, kfinal = jax.random.split(jax.random.fold_in(key, 7))
-    curve_fn = jax.jit(
-        lambda k: _cv_deviance_curve(
-            k, x, y, w,
-            n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
-            bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
-            max_trees=max_trees, tolerance=tolerance, n_bins=n_bins,
-        )
+    ksel, kcv, kfinal = jax.random.split(jax.random.fold_in(key, 7), 3)
+    selector_np = _make_selector(
+        ksel, y, w, n_folds, family=family, prev_stratify=prev_stratify
     )
-    j, dev, _ = curve_fn(kcv)
-    j = int(j)
+    selector = jnp.asarray(selector_np)
+
+    # --- CV curve with the reference's restart rule (V73:1948-1955): if
+    # holdout deviance rises within the first 4 added cycles the reference
+    # aborts and asks for a smaller learning rate; this driver automates the
+    # restart at lr/2
+    lr_used = float(learning_rate)
+    restarts = 0
+    while True:
+        curve_fn = jax.jit(
+            lambda k: _cv_deviance_curve(
+                k, x, y, w, selector,
+                n_folds=n_folds, n_splits=tree_complexity, lr=lr_used,
+                bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
+                max_trees=max_trees, tolerance=tolerance, n_bins=n_bins,
+                family=family,
+            )
+        )
+        j, dev, tdev, fhist = curve_fn(jax.random.fold_in(kcv, restarts))
+        j = int(j)
+        cv_mean_np = np.asarray(jnp.mean(dev[:j], axis=1))
+        rose_early = any(
+            jj < j and cv_mean_np[jj] > cv_mean_np[jj - 1] for jj in (1, 2, 3)
+        )
+        if not rose_early or restarts >= max_restarts:
+            break
+        restarts += 1
+        lr_used *= 0.5
+
     dev = dev[:j]                                   # (j, k)
     cv_mean = jnp.mean(dev, axis=1)
     cv_se = jnp.std(dev, axis=1, ddof=1) / math.sqrt(n_folds)
+    t_mean = jnp.mean(tdev[:j], axis=1)
     best_cp = int(jnp.argmin(cv_mean))              # first checkpoint at the min
     best_trees = (best_cp + 1) * step_size
     trees_fitted = j * step_size
 
-    # final refit on all rows; budget bucketed to bound recompiles
+    # --- CV statistics at best.trees (V73:2014-2096) from the checkpointed
+    # fold fits — per-fold heldout deviance and correlation, fitted-value
+    # matrix and its between-fold variances, heldout linear predictors
+    fbest = np.asarray(fhist[best_cp])              # (k, n) link scale
+    ubest = np.asarray(response(jnp.asarray(fbest), family))   # response scale
+    y_np = np.asarray(y)
+    w_np = np.asarray(w)
+    cv_dev_stats = np.zeros(n_folds)
+    cv_cor_stats = np.zeros(n_folds)
+    fold_fit = np.zeros(n)
+    for i in range(n_folds):
+        held = (selector_np == i) & (w_np > 0)
+        cv_dev_stats[i] = float(
+            calc_deviance(y_np[held], ubest[i, held], weights=w_np[held], family=family)
+        )
+        yi, ui = y_np[held], ubest[i, held]
+        cv_cor_stats[i] = (
+            float(np.corrcoef(yi, ui)[0, 1]) if held.sum() > 1 and np.std(ui) > 0 else np.nan
+        )
+        fold_fit[held] = fbest[i, held]
+    fitted_vars = np.var(ubest, axis=0, ddof=1)
+    cv_statistics = {
+        "deviance.mean": float(np.nanmean(cv_dev_stats)),
+        "deviance.se": float(np.nanstd(cv_dev_stats, ddof=1) / math.sqrt(n_folds)),
+        "correlation.mean": float(np.nanmean(cv_cor_stats)),
+        "correlation.se": float(np.nanstd(cv_cor_stats, ddof=1) / math.sqrt(n_folds)),
+        "deviance.stats": cv_dev_stats,
+        "correlation.stats": cv_cor_stats,
+    }
+
+    # --- final refit on all rows; budget bucketed to bound recompiles
     budget = max(step_size, -(-best_trees // step_size) * step_size)
     final = brt.fit(
         kfinal, x, y, sample_weight=w,
-        n_trees=budget, n_splits=tree_complexity, lr=learning_rate,
+        n_trees=budget, n_splits=tree_complexity, lr=lr_used,
         bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
-        n_trees_active=best_trees,
+        n_trees_active=best_trees, family=family,
     )
+
+    # --- self statistics of the final model (V73:2115-2152, 2190-2192)
+    fitted_link = np.asarray(brt.predict(final, x))
+    fitted = np.asarray(response(jnp.asarray(fitted_link), family))
+    resid_deviance = float(
+        calc_deviance(y, jnp.asarray(fitted), weights=w, family=family, calc_mean=False)
+    )
+    if family == "bernoulli":
+        contribs = y_np * np.log(np.maximum(fitted, 1e-12)) + (1 - y_np) * np.log(
+            np.maximum(1 - fitted, 1e-12)
+        )
+        residuals = np.sqrt(np.abs(contribs * 2.0))
+        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
+    elif family == "poisson":
+        contribs = np.where(
+            y_np == 0, 0.0, y_np * np.log(np.maximum(y_np, 1e-12) / np.maximum(fitted, 1e-12))
+        ) - (y_np - fitted)
+        residuals = np.sqrt(np.abs(contribs * 2.0))
+        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
+    else:  # gaussian | laplace
+        residuals = y_np - fitted
+    with np.errstate(invalid="ignore"):
+        self_cor = float(np.corrcoef(y_np[w_np > 0], fitted[w_np > 0])[0, 1])
+    self_statistics = {
+        "null": total_deviance,
+        "mean.null": mean_total_deviance,
+        "resid": resid_deviance,
+        "mean.resid": resid_deviance / n_active,
+        "correlation": self_cor,
+    }
+
     max_cp = max_trees // step_size
     pad = jnp.full((max_cp,), jnp.inf, x.dtype)
     return GBMStepResult(
@@ -389,11 +571,29 @@ def fit(
         trees_fitted=trees_fitted,
         cv_deviance=pad.at[:j].set(cv_mean),
         cv_deviance_se=pad.at[:j].set(cv_se),
+        family=family,
+        learning_rate=lr_used,
+        restarts=restarts,
+        selector=selector_np,
+        training_deviance=pad.at[:j].set(t_mean),
+        fitted=fitted,
+        residuals=residuals,
+        fitted_vars=fitted_vars,
+        fold_fit=fold_fit,
+        self_statistics=self_statistics,
+        cv_statistics=cv_statistics,
     )
 
 
-def predict(result: GBMStepResult, x) -> jax.Array:
-    return brt.predict(result.final, x)
+def predict(result: GBMStepResult, x, type: str = "link") -> jax.Array:
+    """Boosted score at ``x``; ``type='response'`` applies the inverse link
+    (predict.gbm returns the link scale by default; the reference applies
+    exp/logistic by hand at its call sites, V73:1837-1851).  For gaussian —
+    the only family mltps uses — the two are identical."""
+    out = brt.predict(result.final, x)
+    if type == "response":
+        return response(out, result.family)
+    return out
 
 
 def importance(result: GBMStepResult, names) -> dict:

@@ -31,9 +31,11 @@ __all__ = [
     "bestfirst_forest_predict_mxu",
     "build_path_matrices",
     "make_bins",
+    "make_bins_masked",
     "bin_data",
     "grow_level_tree",
     "grow_bestfirst_tree",
+    "tree_assign",
     "tree_predict",
     "forest_predict",
 ]
@@ -53,6 +55,30 @@ def make_bins(x, n_bins: int = 64):
     """Per-feature quantile bin edges, (p, n_bins - 1)."""
     qs = jnp.linspace(0.0, 1.0, n_bins + 1)[1:-1]
     return jnp.quantile(jnp.asarray(x), qs, axis=0).T
+
+
+def make_bins_masked(x, w, n_bins: int = 64):
+    """Quantile bin edges over the rows with ``w`` > 0, (p, n_bins - 1).
+
+    The per-inner-fold analog of ``make_bins``: each CV fold's gbm sees only
+    its training subset (the reference's per-fold ``gbm::gbm`` calls,
+    V73:1830/1908), so its split candidates come from that subset's
+    quantiles.  Linear interpolation between order statistics of the active
+    rows, vmappable over a leading fold axis of ``w``.
+    """
+    x = jnp.asarray(x)
+    n, p = x.shape
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(w[:, None] > 0, x, big), axis=0)      # active first
+    na = jnp.sum((w > 0).astype(jnp.int32))
+    qs = jnp.linspace(0.0, 1.0, n_bins + 1)[1:-1].astype(x.dtype)
+    pos = qs * jnp.maximum(na - 1, 0).astype(x.dtype)             # (nb-1,)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(na - 1, 0))
+    frac = (pos - lo.astype(x.dtype))[None, :]
+    vlo = jnp.take_along_axis(xs.T, jnp.broadcast_to(lo[None, :], (p, lo.shape[0])), axis=1)
+    vhi = jnp.take_along_axis(xs.T, jnp.broadcast_to(hi[None, :], (p, hi.shape[0])), axis=1)
+    return vlo * (1 - frac) + vhi * frac
 
 
 def bin_data(x, edges):
@@ -354,8 +380,8 @@ def bestfirst_forest_predict_mxu(
     return out.reshape(n_mb * mb)[:m]
 
 
-def tree_predict(tree: Tree, x, depth: int) -> jax.Array:
-    """Route (m, p) points through one tree with a fixed-depth gather loop."""
+def tree_assign(tree: Tree, x, depth: int) -> jax.Array:
+    """Terminal node id of every (m, p) point (fixed-depth gather loop)."""
     x = jnp.asarray(x)
     m = x.shape[0]
 
@@ -367,8 +393,12 @@ def tree_predict(tree: Tree, x, depth: int) -> jax.Array:
         nxt = jnp.where(xv <= t, tree.left[cur], tree.right[cur])
         return jnp.where(go, nxt, cur)
 
-    cur = jax.lax.fori_loop(0, depth, body, jnp.zeros((m,), jnp.int32))
-    return tree.value[cur]
+    return jax.lax.fori_loop(0, depth, body, jnp.zeros((m,), jnp.int32))
+
+
+def tree_predict(tree: Tree, x, depth: int) -> jax.Array:
+    """Route (m, p) points through one tree with a fixed-depth gather loop."""
+    return tree.value[tree_assign(tree, x, depth)]
 
 
 def forest_predict(

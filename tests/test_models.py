@@ -197,3 +197,97 @@ def test_gbm_outer_batched_matches_sequential_quality(rng):
         test = w[f] == 0
         res = y_np[test] - preds[f][test]
         assert np.sum(res**2) < 0.5 * np.sum((y_np[test] - y_np[test].mean()) ** 2)
+
+
+def test_gbm_step_result_statistics_blocks(rng):
+    """The gbm.step result carries the reference's CV/self statistics
+    (V73:2014-2096, 2190-2197): per-fold deviance/correlation at best.trees,
+    fitted values + residuals, between-fold fitted variance."""
+    x, y = make_data(rng, n=220)
+    res = gbm_step.fit(
+        jax.random.PRNGKey(4), x, y,
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=400, n_folds=5,
+    )
+    n = len(np.asarray(y))
+    assert res.selector.shape == (n,) and set(res.selector) == set(range(5))
+    assert res.fitted.shape == (n,)
+    np.testing.assert_allclose(res.residuals, np.asarray(y) - res.fitted)
+    assert res.fitted_vars.shape == (n,) and np.all(res.fitted_vars >= 0)
+    cs, ss = res.cv_statistics, res.self_statistics
+    assert 0 < cs["deviance.mean"] and cs["deviance.se"] >= 0
+    assert 0.5 < cs["correlation.mean"] <= 1.0
+    # self stats: intercept-only (null) deviance exceeds the model's
+    assert ss["resid"] < ss["null"]
+    assert ss["mean.null"] == pytest.approx(np.var(np.asarray(y)), rel=1e-6)
+    assert 0.9 < ss["correlation"] <= 1.0
+    # training deviance curve decreases overall
+    tcurve = np.asarray(res.training_deviance)
+    tcurve = tcurve[np.isfinite(tcurve)]
+    assert tcurve[-1] < tcurve[0]
+
+
+def test_gbm_step_restart_rule(rng):
+    """A hopeless learning rate whose holdout deviance rises in the first
+    cycles triggers the reference's restart rule (V73:1948-1955), automated
+    as lr/2 retries."""
+    x, y = make_data(rng, n=120, noise=0.05)
+    # enormous lr on tiny data: the first added cycles overshoot
+    res = gbm_step.fit(
+        jax.random.PRNGKey(2), x, jnp.asarray(50.0) * y,
+        tree_complexity=2, learning_rate=2.0, step_size=25, max_trees=200,
+        n_folds=4, max_restarts=4,
+    )
+    assert res.restarts >= 1
+    assert res.learning_rate < 2.0
+    assert res.learning_rate == pytest.approx(2.0 * 0.5**res.restarts)
+
+
+def test_gbm_families_recover_link_scale(rng):
+    """Non-gaussian boosting (V73:1673 family argument) recovers the signal
+    on the response scale for poisson counts and bernoulli outcomes, and
+    laplace tracks the conditional median."""
+    n = 400
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    eta = 1.0 + 1.2 * np.asarray(x)[:, 0] - 0.8 * np.asarray(x)[:, 1]
+
+    y_pois = jnp.asarray(rng.poisson(np.exp(eta)).astype(np.float64))
+    res_p = gbm_step.fit(
+        jax.random.PRNGKey(11), x, y_pois, family="poisson",
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=400, n_folds=4,
+    )
+    mu = np.asarray(gbm_step.predict(res_p, x, type="response"))
+    assert np.all(mu > 0)
+    assert np.corrcoef(mu, np.exp(eta))[0, 1] > 0.9
+
+    p_true = 1 / (1 + np.exp(-eta))
+    y_bin = jnp.asarray((rng.uniform(size=n) < p_true).astype(np.float64))
+    res_b = gbm_step.fit(
+        jax.random.PRNGKey(12), x, y_bin, family="bernoulli",
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=400, n_folds=4,
+    )
+    p_hat = np.asarray(gbm_step.predict(res_b, x, type="response"))
+    assert np.all((p_hat > 0) & (p_hat < 1))
+    assert np.corrcoef(p_hat, p_true)[0, 1] > 0.6
+    # prevalence stratification balanced the folds
+    sel = res_b.selector
+    y_np = np.asarray(y_bin)
+    pres_counts = [np.sum((sel == f) & (y_np == 1)) for f in range(4)]
+    assert max(pres_counts) - min(pres_counts) <= 1
+
+    y_lap = jnp.asarray(eta + rng.standard_t(2, n))  # heavy-tailed noise
+    res_l = gbm_step.fit(
+        jax.random.PRNGKey(13), x, y_lap, family="laplace",
+        tree_complexity=3, learning_rate=0.05, step_size=25, max_trees=400, n_folds=4,
+    )
+    f_hat = np.asarray(gbm_step.predict(res_l, x))
+    assert np.mean(np.abs(f_hat - eta)) < np.mean(np.abs(eta.mean() - eta))
+
+
+def test_make_bins_masked_matches_subset_quantiles(rng):
+    """Masked bin edges equal jnp.quantile on the active subset — the
+    per-inner-fold split candidates each fold's gbm would compute."""
+    x = jnp.asarray(rng.uniform(0, 10, (100, 3)))
+    w = jnp.asarray((rng.uniform(size=100) < 0.7).astype(np.float64))
+    got = np.asarray(trees.make_bins_masked(x, w, n_bins=16))
+    want = np.asarray(trees.make_bins(np.asarray(x)[np.asarray(w) > 0], n_bins=16))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
