@@ -197,8 +197,19 @@ def nystrom_tps_fit(
     d = beta[:3]
     c = beta[3:]
 
-    fitted = jnp.zeros_like(ycols)  # not materialised for huge n; compute lazily
-    residuals = jnp.zeros_like(ycols)
+    # fitted values / residuals: one more streamed pass over the stations
+    # (O(n_chunk x m) matmuls; the outputs are only (n, R))
+    def chunk_fit(_, start):
+        xi = jax.lax.dynamic_slice(xs, (start, 0), (chunk, 2))
+        valid = (start + jnp.arange(chunk) < n)[:, None].astype(dtype)
+        xi = xi * valid + 0.5 * (1 - valid)
+        k_i = _phi(_pairwise_r2(xi, z), dtype) * valid
+        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * valid
+        return None, t_i @ d + k_i @ c                         # (chunk, R)
+
+    _, fit_chunks = jax.lax.scan(chunk_fit, None, starts)
+    fitted = fit_chunks.reshape(n_chunks * chunk, n_resp)[:n]
+    residuals = ycols[:n] - fitted
     eff_df = jnp.sum(s, axis=0)
     if single:
         c, d = c[:, 0], d[:, 0]
