@@ -144,10 +144,6 @@ class GridSpec:
         return row, col
 
 
-def register_raster_pytree():  # pragma: no cover - executed at import
-    pass
-
-
 @jax.tree_util.register_pytree_node_class
 class Raster:
     """A (possibly multi-band) geo-referenced grid: jnp values + GridSpec.
@@ -172,6 +168,28 @@ class Raster:
                 f"band_{i}" for i in range(1 if data.ndim == 2 else data.shape[0])
             )
         self.names = tuple(names)
+
+    @classmethod
+    def host(cls, data, grid: GridSpec, names: tuple[str, ...] | None = None) -> "Raster":
+        """Host-backed raster: keeps ``data`` as the numpy array it was given
+        (no device transfer).  Used for rasters straight off disk — this
+        jax build's CPU host->device copy degrades nonlinearly past 2^31
+        elements (~95 s for a 4 GB array), so BigTIFF-scale reads must stay
+        on the host; jnp ops convert lazily, block by block."""
+        arr = np.asarray(data)
+        obj = cls.__new__(cls)
+        if arr.ndim not in (2, 3):
+            raise ValueError(f"Raster data must be 2-D or 3-D, got {arr.shape}")
+        if arr.shape[-2:] != grid.shape:
+            raise ValueError(f"data shape {arr.shape[-2:]} != grid shape {grid.shape}")
+        obj.data = arr
+        obj.grid = grid
+        obj.names = tuple(
+            names
+            if names is not None
+            else (f"band_{i}" for i in range(1 if arr.ndim == 2 else arr.shape[0]))
+        )
+        return obj
 
     # pytree protocol
     def tree_flatten(self):

@@ -6,10 +6,13 @@ implements the needed subset of the format directly:
 
 * writer: single- or multi-band float32 GeoTIFF, strip layout, optional
   deflate compression, ModelPixelScale + ModelTiepoint + a WGS84 GeoKey
-  directory, GDAL_NODATA tag (NaN encoded as 'nan');
-* reader: classic TIFF (little/big endian), strip or tile layout, compression
-  none/deflate/LZW (+ horizontal-differencing predictor), integer and float
-  sample formats, GDAL_NODATA mapped to NaN.
+  directory, GDAL_NODATA tag (NaN encoded as 'nan'); **BigTIFF** is selected
+  automatically once the payload could cross the classic 4 GB offset limit
+  (BASELINE configs 4-5 emit 10^8-10^9-cell float32 outputs), and a streaming
+  variant writes row blocks without ever materialising the full array;
+* reader: classic TIFF and BigTIFF (little/big endian), strip or tile layout,
+  compression none/deflate/LZW (+ horizontal-differencing predictor), integer
+  and float sample formats, GDAL_NODATA mapped to NaN.
 
 A C++ codec for the hot decode path lives in native/ (optional; this module
 is the always-available fallback and the format authority for tests).
@@ -24,32 +27,82 @@ import numpy as np
 
 from ..grid import GridSpec, Raster, WGS84
 
-__all__ = ["read_geotiff", "write_geotiff_file"]
+__all__ = ["read_geotiff", "write_geotiff_file", "write_geotiff_stream"]
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    16: 8, 17: 8,
+}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+# classic-TIFF offsets are u32; leave headroom for the IFD + tag payloads
+_CLASSIC_LIMIT = (1 << 32) - (1 << 16)
 
 
-def write_geotiff_file(path: str, raster: Raster, compress: bool = True, nodata_nan: bool = True):
-    """Write a Raster as a float32 GeoTIFF (strip layout, optional deflate)."""
+def write_geotiff_file(
+    path: str,
+    raster: Raster,
+    compress: bool = True,
+    nodata_nan: bool = True,
+    bigtiff: bool | None = None,
+):
+    """Write a Raster as a float32 GeoTIFF (strip layout, optional deflate).
+
+    ``bigtiff=None`` auto-selects BigTIFF when the uncompressed payload could
+    exceed the classic format's 4 GB offset space (terra::writeRaster's GDAL
+    backend does the same via IF_SAFER)."""
     data = np.asarray(raster.data, np.float32)
     if data.ndim == 2:
         data = data[None]
     nbands, h, w = data.shape
-    g = raster.grid
-    endian = "<"
-
     rows_per_strip = max(1, min(h, (1 << 20) // max(w * 4 * nbands, 1)))
-    n_strips = math.ceil(h / rows_per_strip)
     chunky = np.moveaxis(data, 0, -1).reshape(h, w * nbands)  # pixel-interleaved
-    strips = [
-        (zlib.compress(raw, 6) if compress else raw)
-        for raw in (
-            chunky[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
-            for s in range(n_strips)
-        )
-    ]
-    counts = [len(s) for s in strips]
+
+    def blocks():
+        for s in range(0, h, rows_per_strip):
+            yield chunky[s : s + rows_per_strip]
+
+    write_geotiff_stream(
+        path, raster.grid, blocks(), nbands=nbands, compress=compress,
+        nodata_nan=nodata_nan, bigtiff=bigtiff, rows_per_strip=rows_per_strip,
+    )
+
+
+def write_geotiff_stream(
+    path: str,
+    grid: GridSpec,
+    row_blocks,
+    nbands: int = 1,
+    compress: bool = True,
+    nodata_nan: bool = True,
+    bigtiff: bool | None = None,
+    rows_per_strip: int | None = None,
+    sparse_ok: bool = False,
+):
+    """Stream a float32 GeoTIFF strip by strip without holding the array.
+
+    ``row_blocks`` yields consecutive row blocks of exactly
+    ``rows_per_strip`` rows each (the last may be short), shaped (rows, W)
+    for one band or (rows, W, nbands) / (rows, W*nbands) interleaved.  The
+    header and IFD are written up front with placeholder strip tables that
+    are patched in place once every strip's offset and byte count is known —
+    so a 10^9-cell surface streams straight from the prediction loop to disk.
+
+    ``sparse_ok`` (GDAL's SPARSE_OK analog, uncompressed only): all-zero
+    strips are seeked over instead of written, leaving filesystem holes —
+    zero-dominated outputs (ocean masks, empty TPS tiles) cost no disk
+    bandwidth and read back as zeros through the normal strip tables.
+    """
+    g = grid
+    h, w = g.nrows, g.ncols
+    endian = "<"
+    if rows_per_strip is None:
+        rows_per_strip = max(1, min(h, (1 << 20) // max(w * 4 * nbands, 1)))
+    n_strips = math.ceil(h / rows_per_strip)
+    if bigtiff is None:
+        # auto: compressed strips may legally exceed raw size only by a hair;
+        # decide on the raw payload either way
+        bigtiff = h * w * nbands * 4 >= _CLASSIC_LIMIT
 
     geo_keys = [
         (1, 1, 0, 4),        # version, revision, minor, number of keys
@@ -87,39 +140,83 @@ def write_geotiff_file(path: str, raster: Raster, compress: bool = True, nodata_
             raw = struct.pack(f"{endian}{count}{_TYPE_FMT[ttype]}", *v)
         payloads[tag] = (ttype, count, raw)
 
-    n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
-    ifd_size = 2 + n_entries * 12 + 4
-    # external area holds every payload > 4 bytes plus the two strip arrays
-    strip_arr = struct.pack(f"{endian}{n_strips}I", *([0] * n_strips))
-    ext_size = sum(len(r) + len(r) % 2 for _, _, r in payloads.values() if len(r) > 4)
-    ext_size += 2 * (len(strip_arr) + len(strip_arr) % 2) if n_strips > 1 else 0
-    strips_start = 8 + ifd_size + ext_size
-    offsets = list(np.cumsum([strips_start] + counts[:-1]).astype(int)) if n_strips else []
-    payloads[273] = (4, n_strips, struct.pack(f"{endian}{n_strips}I", *offsets))
-    payloads[279] = (4, n_strips, struct.pack(f"{endian}{n_strips}I", *counts))
+    # strip tables as placeholders, patched after the strips are written
+    off_type = 16 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
+    payloads[273] = (off_type, n_strips, b"\x00" * (n_strips * (8 if bigtiff else 4)))
+    payloads[279] = (off_type, n_strips, b"\x00" * (n_strips * (8 if bigtiff else 4)))
+
+    inline = 8 if bigtiff else 4
+    entry_size = 20 if bigtiff else 12
+    header_size = 16 if bigtiff else 8
+    n_entries = len(payloads)
+    ifd_size = (8 + n_entries * entry_size + 8) if bigtiff else (2 + n_entries * 12 + 4)
 
     entries = []
-    ext = b""
-    ext_pos = 8 + ifd_size
-    for tag in sorted(payloads):
+    ext = bytearray()
+    ext_base = header_size + ifd_size
+    ifd_entries_base = header_size + (8 if bigtiff else 2)
+    patch_pos = {}  # tag -> absolute file position of its value bytes
+    for i, tag in enumerate(sorted(payloads)):
         ttype, count, raw = payloads[tag]
-        if len(raw) <= 4:
-            entries.append(
-                struct.pack(f"{endian}HHI", tag, ttype, count) + raw + b"\x00" * (4 - len(raw))
-            )
+        if bigtiff:
+            head = struct.pack(f"{endian}HHQ", tag, ttype, count)
         else:
-            entries.append(struct.pack(f"{endian}HHII", tag, ttype, count, ext_pos))
+            head = struct.pack(f"{endian}HHI", tag, ttype, count)
+        if len(raw) <= inline:
+            entries.append(head + raw + b"\x00" * (inline - len(raw)))
+            patch_pos[tag] = ifd_entries_base + i * entry_size + len(head)
+        else:
+            pos = ext_base + len(ext)
+            entries.append(head + struct.pack(f"{endian}{off_fmt}", pos))
+            patch_pos[tag] = pos
             ext += raw + (b"\x00" if len(raw) % 2 else b"")
-            ext_pos += len(raw) + len(raw) % 2
+
     with open(path, "wb") as f:
-        f.write(struct.pack(f"{endian}2sHI", b"II", 42, 8))
-        f.write(struct.pack(f"{endian}H", len(entries)))
+        if bigtiff:
+            f.write(struct.pack(f"{endian}2sHHHQ", b"II", 43, 8, 0, 16))
+            f.write(struct.pack(f"{endian}Q", len(entries)))
+        else:
+            f.write(struct.pack(f"{endian}2sHI", b"II", 42, 8))
+            f.write(struct.pack(f"{endian}H", len(entries)))
         for e in entries:
             f.write(e)
-        f.write(struct.pack(f"{endian}I", 0))
-        f.write(ext)
-        for s in strips:
+        f.write(struct.pack(f"{endian}{off_fmt}", 0))  # next IFD
+        f.write(bytes(ext))
+
+        offsets, counts = [], []
+        rows_seen = 0
+        for blk in row_blocks:
+            blk = np.asarray(blk, np.float32)
+            if blk.ndim == 3:
+                blk = blk.reshape(blk.shape[0], -1)
+            rows_seen += blk.shape[0]
+            offsets.append(f.tell())
+            if sparse_ok and not compress and not blk.any():
+                size = blk.size * 4
+                counts.append(size)
+                f.seek(size, 1)  # hole: the filesystem serves zeros
+                continue
+            raw = blk.tobytes()
+            s = zlib.compress(raw, 6) if compress else raw
+            counts.append(len(s))
             f.write(s)
+        end_pos = f.tell()
+        if rows_seen != h or len(offsets) != n_strips:
+            raise ValueError(
+                f"row_blocks yielded {rows_seen} rows / {len(offsets)} strips; "
+                f"expected {h} rows / {n_strips} strips of {rows_per_strip}"
+            )
+        if not bigtiff and (offsets[-1] + counts[-1] if offsets else 0) > (1 << 32) - 1:
+            raise ValueError(
+                "output exceeds the classic-TIFF 4 GB offset limit; "
+                "pass bigtiff=True (or bigtiff=None for auto-selection)"
+            )
+        f.seek(patch_pos[273])
+        f.write(struct.pack(f"{endian}{n_strips}{off_fmt}", *offsets))
+        f.seek(patch_pos[279])
+        f.write(struct.pack(f"{endian}{n_strips}{off_fmt}", *counts))
+        f.truncate(end_pos)  # extend over a trailing hole strip
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -169,22 +266,46 @@ def _lzw_decode(data: bytes) -> bytes:
 
 
 def read_geotiff(path: str, band: int | None = None) -> Raster:
+    # mmap, not read(): pages fault in as they are touched, so structural
+    # parsing and the zero-copy uncompressed path never pull untouched strips
+    # through this container's ~20-30 MB/s buffered-I/O throttle (a 4 GB
+    # BigTIFF costs minutes to read() eagerly)
+    import mmap as _mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
-    endian = {b"II": "<", b"MM": ">"}.get(buf[:2])
-    if endian is None or struct.unpack(f"{endian}H", buf[2:4])[0] != 42:
-        raise ValueError(f"{path}: not a classic TIFF")
-    (ifd_off,) = struct.unpack(f"{endian}I", buf[4:8])
-    (n_entries,) = struct.unpack(f"{endian}H", buf[ifd_off : ifd_off + 2])
+        try:
+            # the mapping outlives the fd; frombuffer views keep it alive
+            buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file / exotic fs: fall back
+            buf = f.read()
+    endian = {b"II": "<", b"MM": ">"}.get(bytes(buf[:2]))
+    magic = struct.unpack(f"{endian}H", buf[2:4])[0] if endian else 0
+    if endian is None or magic not in (42, 43):
+        raise ValueError(f"{path}: not a TIFF/BigTIFF")
+    big = magic == 43
+    if big:
+        offsize, zero = struct.unpack(f"{endian}HH", buf[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"{path}: unsupported BigTIFF offset size {offsize}")
+        (ifd_off,) = struct.unpack(f"{endian}Q", buf[8:16])
+        (n_entries,) = struct.unpack(f"{endian}Q", buf[ifd_off : ifd_off + 8])
+        entries_base, entry_size, inline, count_fmt = ifd_off + 8, 20, 8, "HHQ"
+    else:
+        (ifd_off,) = struct.unpack(f"{endian}I", buf[4:8])
+        (n_entries,) = struct.unpack(f"{endian}H", buf[ifd_off : ifd_off + 2])
+        entries_base, entry_size, inline, count_fmt = ifd_off + 2, 12, 4, "HHI"
     tags = {}
     for i in range(n_entries):
-        off = ifd_off + 2 + i * 12
-        tag, ttype, count = struct.unpack(f"{endian}HHI", buf[off : off + 8])
+        off = entries_base + i * entry_size
+        head = entry_size - inline
+        tag, ttype, count = struct.unpack(f"{endian}{count_fmt}", buf[off : off + head])
         size = _TYPE_SIZES.get(ttype, 1) * count
-        if size <= 4:
-            raw = buf[off + 8 : off + 8 + size]
+        if size <= inline:
+            raw = buf[off + head : off + head + size]
         else:
-            (voff,) = struct.unpack(f"{endian}I", buf[off + 8 : off + 12])
+            (voff,) = struct.unpack(
+                f"{endian}{'Q' if big else 'I'}", buf[off + head : off + entry_size]
+            )
             raw = buf[voff : voff + size]
         if ttype == 2:
             tags[tag] = raw.rstrip(b"\x00").decode("latin-1")
@@ -218,6 +339,19 @@ def read_geotiff(path: str, band: int | None = None) -> Raster:
         if compression == 5:
             return _lzw_decode(raw)
         raise NotImplementedError(f"TIFF compression {compression}")
+
+    # fastest path: uncompressed strips laid out back-to-back are one
+    # contiguous pixel run — view straight into the file buffer, zero copies
+    # (this container throttles disk to ~20-30 MB/s, so a 4 GB BigTIFF read
+    # is already ~4 min of pure I/O; don't add memcpy minutes on top)
+    if 322 not in tags and compression == 1 and predictor == 1:
+        offs = np.asarray(tags[273], np.int64)
+        cnts = np.asarray(tags[279], np.int64)
+        if len(offs) and np.all(offs[1:] == offs[:-1] + cnts[:-1]):
+            out = np.frombuffer(
+                buf, dtype, count=h * w * spp, offset=int(offs[0])
+            ).reshape(h, w, spp)
+            return _finish_read(out, tags, h, w, spp, endian, band)
 
     # fast path: the C++ threaded decoder for strip layouts (native/)
     if 322 not in tags and compression in (1, 5, 8, 32946):
@@ -273,12 +407,16 @@ def read_geotiff(path: str, band: int | None = None) -> Raster:
 
 
 def _finish_read(out, tags, h, w, spp, endian, band):
-    data = np.moveaxis(out, -1, 0).astype(np.float32)
+    data = np.moveaxis(out, -1, 0)
+    if data.dtype != np.float32:
+        data = data.astype(np.float32)
     nodata = tags.get(42113)
     if nodata is not None:
         try:
             nd = float(nodata)
             if not math.isnan(nd):
+                if not data.flags.writeable:
+                    data = data.copy()
                 data[data == nd] = np.nan
         except ValueError:
             pass
@@ -290,5 +428,5 @@ def _finish_read(out, tags, h, w, spp, endian, band):
     ymax = float(tie[4]) + float(tie[1]) * dy
     grid = GridSpec(nrows=h, ncols=w, xmin=xmin, ymax=ymax, dx=dx, dy=abs(dy), crs=WGS84)
     if band is not None:
-        return Raster(data[band], grid)
-    return Raster(data[0] if spp == 1 else data, grid)
+        return Raster.host(data[band], grid)
+    return Raster.host(data[0] if spp == 1 else data, grid)

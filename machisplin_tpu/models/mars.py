@@ -9,12 +9,25 @@ C(M) = terms + penalty*(terms-1)/2 and earth's additive-model penalty = 2.
 so it is not replicated here.)  Variable importance follows ``earth::evimp``
 (V73:541): per-variable RSS and GCV criteria over the pruned model.
 
-TPU-native shape discipline: the forward pass always adds ``n_pairs`` hinge
-pairs (candidate gains computed for every (variable, knot-quantile) pair in
-one batched 2x2-solve sweep) and the backward pass prunes over a static mask,
-so the whole fit jits once and vmaps across CV folds — unlike earth's
-data-dependent term counts.  Dead candidates are pruned by GCV exactly as
-earth's backward pass would drop them.
+Forward-pass semantics follow earth's published algorithm (Friedman 1991
+eqs. 43/45; earth's ForwardPass):
+
+* **minspan/endspan knot filtering** — candidate knots sit only at training
+  observations spaced ``minspan`` apart and at least ``endspan`` from either
+  end of each variable's sorted values, with the automatic spans
+  minspan = max(1, floor(-log2(-(1/(N*p)) * log(1-alpha)) / 2.5)) and
+  endspan = max(1, floor(3 - log2(alpha/p))), alpha = 0.05;
+* **RSq-delta stopping** — the pass stops before adding a pair whose best
+  achievable RSq improvement is < ``thresh`` (earth default 0.001), or once
+  RSq >= 1 - thresh, so the surviving term count is data-dependent;
+* the maximum pair budget ``n_pairs`` mirrors earth's default
+  nk = min(200, max(20, 2p+1)) + 1 (= 10 pairs for p <= 9).
+
+TPU-native shape discipline: all candidate gains are computed in one batched
+2x2-solve sweep over a static (variable, knot-rank) grid, the stop decision
+rides a carried boolean (stopped pairs contribute zeroed basis columns), and
+the backward pass prunes over a static mask — so the whole fit jits once and
+vmaps across CV folds while reproducing earth's data-dependent behavior.
 """
 from __future__ import annotations
 
@@ -33,6 +46,7 @@ class MARSState(NamedTuple):
     active: jax.Array    # (2T + 1,) float 0/1 column mask after pruning
     gcv: jax.Array       # () best GCV
     rss: jax.Array       # () RSS of the pruned model
+    pair_active: jax.Array  # (T,) 0/1 — pairs the forward pass actually added
 
 
 def _design(x, vars_, knots):
@@ -79,7 +93,13 @@ def fit(
     n_knots: int = 64,
     penalty: float = 2.0,
     ridge: float | None = None,
+    thresh: float = 1e-3,
+    minspan: int = 0,
+    endspan: int = 0,
 ) -> MARSState:
+    """``minspan``/``endspan`` = 0 selects earth's automatic spans from the
+    (weighted) training count; ``thresh`` = 0 disables RSq-delta stopping
+    (always spends the full ``n_pairs`` budget, the pre-fidelity behavior)."""
     del key
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -88,16 +108,35 @@ def fit(
     n_eff = jnp.maximum(jnp.sum(w), 1.0)
     sw = jnp.sqrt(w)
 
-    # knot candidates: weight-aware quantiles per variable (train rows only)
-    qs = jnp.linspace(0.02, 0.98, n_knots, dtype=x.dtype)
+    # spans (Friedman eq. 43/45, alpha=.05), on the weighted training count
+    alpha = 0.05
+    if minspan > 0:
+        ms = jnp.asarray(float(minspan), x.dtype)
+    else:
+        ms = jnp.floor(
+            -jnp.log2(-(1.0 / (n_eff * p)) * jnp.log1p(-alpha)) / 2.5
+        )
+        ms = jnp.maximum(ms, 1.0)
+    if endspan > 0:
+        es = jnp.asarray(float(endspan), x.dtype)
+    else:
+        es = jnp.maximum(jnp.floor(3.0 - jnp.log2(alpha / p)), 1.0)
+
+    # knot candidates: training observations at sorted ranks es, es+ms,
+    # es+2ms, ... (earth's span-filtered knot set), one static (p, K) grid.
+    # Ranks past n_eff - es - 1 are invalid; their gains are masked out.
     order = jnp.argsort(x, axis=0)                              # (n, p)
     xs_sorted = jnp.take_along_axis(x, order, axis=0)
     w_sorted = w[order]
-    cw = jnp.cumsum(w_sorted, axis=0) / n_eff                   # (n, p)
-    # for each quantile, first sorted index with cumweight >= q
-    idx = jnp.sum(cw[None, :, :] < qs[:, None, None], axis=1)   # (K, p)
+    cw = jnp.cumsum(w_sorted, axis=0)                           # (n, p) counts
+    ranks = es + ms * jnp.arange(n_knots, dtype=x.dtype)        # (K,)
+    rank_valid = ranks <= n_eff - es - 1.0                      # (K,)
+    rank_valid = rank_valid.at[0].set(True)  # never an empty candidate set
+    # first sorted index whose cumulative train count reaches rank+1
+    idx = jnp.sum(cw[None, :, :] < (ranks + 1.0)[:, None, None], axis=1)  # (K, p)
     idx = jnp.clip(idx, 0, n - 1)
     knot_grid = jnp.take_along_axis(xs_sorted, idx, axis=0).T   # (p, K)
+    cand_valid = jnp.broadcast_to(rank_valid[None, :], (p, n_knots)).reshape(-1)
 
     # all candidate hinge columns in sqrt-weight space
     xv = x.T[:, None, :]                                        # (p, 1, n)
@@ -109,8 +148,11 @@ def fit(
     q0 = sw / jnp.sqrt(n_eff)                                   # weighted intercept, unit norm
     tiny = jnp.asarray(1e-10, x.dtype)
 
+    resid0 = ysw - (ysw @ q0) * q0
+    tss = jnp.maximum(jnp.sum(resid0 * resid0), tiny)
+
     def forward_step(carry, _):
-        q_basis, resid = carry                                  # (n, M), (n,)
+        q_basis, resid, stopped = carry                         # (n, M), (n,), ()
         # project candidates off the current basis
         pa = cand_plus - (cand_plus @ q_basis) @ q_basis.T      # (C, n)
         pb = cand_minus - (cand_minus @ q_basis) @ q_basis.T
@@ -132,28 +174,41 @@ def fit(
             jnp.where(bb > tiny, br * br / jnp.maximum(bb, tiny), 0.0),
         )
         gain = jnp.maximum(gain2, gain1)
+        gain = jnp.where(cand_valid, gain, -1.0)  # span-filtered knots only
         best = jnp.argmax(gain)
-        # orthonormalise the chosen pair into the basis
+        # earth's ForwardPass termination: stop BEFORE adding a pair whose
+        # RSq improvement falls below thresh, or once RSq >= 1 - thresh
+        rss_cur = jnp.sum(resid * resid)
+        rsq_cur = 1.0 - rss_cur / tss
+        delta_rsq = jnp.maximum(gain[best], 0.0) / tss
+        stopped = stopped | (delta_rsq < thresh) | (rsq_cur >= 1.0 - thresh)
+        add = jnp.where(stopped, 0.0, 1.0).astype(x.dtype)
+        # orthonormalise the chosen pair into the basis (zeroed if stopped,
+        # which leaves basis and residual unchanged for the remaining steps)
         u1 = pa[best]
         n1 = jnp.sqrt(jnp.maximum(jnp.sum(u1 * u1), tiny))
-        e1 = jnp.where(n1 > 1e-6, u1 / n1, 0.0)
+        e1 = jnp.where(n1 > 1e-6, u1 / n1, 0.0) * add
         u2 = pb[best] - (pb[best] @ e1) * e1
         n2 = jnp.sqrt(jnp.maximum(jnp.sum(u2 * u2), tiny))
-        e2 = jnp.where(n2 > 1e-6, u2 / n2, 0.0)
+        e2 = jnp.where(n2 > 1e-6, u2 / n2, 0.0) * add
         resid = resid - (resid @ e1) * e1 - (resid @ e2) * e2
         q_basis = jnp.concatenate([q_basis, e1[:, None], e2[:, None]], axis=1)
-        return (q_basis, resid), best
+        return (q_basis, resid, stopped), (best, add)
 
-    resid0 = ysw - (ysw @ q0) * q0
     # lax.scan would be natural here, but the basis grows each step; with a
     # static small n_pairs a Python loop unrolls fine under jit.
     q_basis = q0[:, None]
     resid = resid0
-    picks = []
+    stopped = jnp.asarray(False)
+    picks, adds = [], []
     for _ in range(n_pairs):
-        (q_basis, resid), best = forward_step((q_basis, resid), None)
+        (q_basis, resid, stopped), (best, add) = forward_step(
+            (q_basis, resid, stopped), None
+        )
         picks.append(best)
+        adds.append(add)
     picks = jnp.stack(picks)
+    pair_active = jnp.stack(adds)                               # (T,) 0/1
     vars_ = (picks // n_knots).astype(jnp.int32)
     flat_knots = knot_grid.reshape(-1)
     knots = flat_knots[picks]
@@ -189,16 +244,20 @@ def fit(
         best_mask = jnp.where(better, new_mask, best_mask)
         return (new_mask, best_gcv, best_mask), None
 
-    full_mask = jnp.ones((ncols,), x.dtype)
+    # pairs the forward pass never added (RSq-delta stop) start pruned out
+    full_mask = jnp.concatenate(
+        [jnp.ones((1,), x.dtype), jnp.repeat(pair_active, 2)]
+    )
     rss_full, _ = _masked_rss(b_full, ysw, full_mask, ridge)
-    best_gcv0 = gcv_of(rss_full, jnp.asarray(float(ncols), x.dtype))
+    best_gcv0 = gcv_of(rss_full, jnp.sum(full_mask))
     (final_mask, best_gcv, best_mask), _ = jax.lax.scan(
         prune_step, (full_mask, best_gcv0, full_mask), None, length=ncols - 1
     )
     del final_mask
     rss_best, coef = _masked_rss(b_full, ysw, best_mask, ridge)
     return MARSState(
-        vars=vars_, knots=knots, coef=coef, active=best_mask, gcv=best_gcv, rss=rss_best
+        vars=vars_, knots=knots, coef=coef, active=best_mask, gcv=best_gcv,
+        rss=rss_best, pair_active=pair_active,
     )
 
 

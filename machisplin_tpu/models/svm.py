@@ -6,15 +6,22 @@ k(x,z) = exp(-sigma * |x-z|^2) with sigma picked by kernlab's ``sigest``
 heuristic (quantiles of pairwise squared distances), and inputs/response
 standardised (ksvm ``scaled=TRUE``).
 
-Solver: the dual in theta = alpha - alpha* reduces (with the bias absorbed by
-a +1 kernel offset, the standard penalised-bias trick) to a box-constrained
-lasso-type QP
+Solver: the exact SVR dual in theta = alpha - alpha*,
 
-    min_theta  1/2 theta' Q theta - y' theta + eps |theta|_1 ,  |theta_i| <= C
+    min_theta  1/2 theta' K theta - y' theta + eps |theta|_1 ,
+    |theta_i| <= C,   sum_i theta_i = 0,
 
-solved by cyclic coordinate descent with a soft-threshold update — a fixed
-iteration count under ``lax.scan`` so the whole fit jits and vmaps across CV
-folds.  n is at most a few thousand in this pipeline, so Q stays resident.
+is solved to its true KKT point (the same optimum kernlab's SMO reaches) by
+an augmented-Lagrangian treatment of the equality constraint: cyclic
+soft-threshold coordinate descent on K + mu*11' with a multiplier update
+lambda <- lambda + mu * sum(theta) each sweep.  At the optimum the
+multiplier IS the bias b (stationarity  K theta - y + eps*sgn + lambda*1 = 0
+matches the primal KKT with b = lambda); the final bias is refined from the
+free support vectors exactly as libsvm/kernlab do
+(b = mean over 0<|theta_i|<C of  y_i - (K theta)_i - eps*sign(theta_i)).
+Everything is fixed-shape under ``lax.scan`` so the whole fit jits and vmaps
+across CV folds.  n is at most a few thousand in this pipeline, so K stays
+resident.
 
 Variable importance is computed by the pipeline via the breakDown-style
 sampled contribution report (ensemble/importance.py), matching V73:562-580.
@@ -94,26 +101,39 @@ def fit(
     else:
         sig = jnp.asarray(sigma, x.dtype)
 
-    q = _rbf(xs, xs, sig) + 1.0            # +1 absorbs the bias
+    q = _rbf(xs, xs, sig)
     q = q * jnp.outer(w, w)                # masked rows decouple entirely
     q = q + jnp.diag(1.0 - w)
-    diag = jnp.diag(q)
+    mu = jnp.asarray(1.0, x.dtype)         # augmented-Lagrangian weight
+    diag = jnp.diag(q) + mu * w            # A_ii of A = K + mu*11' (active rows)
 
-    def epoch(theta, _):
-        def coord(i, theta):
-            grad_i = q[i] @ theta - ys[i] * w[i]
-            cand = theta[i] - grad_i / jnp.maximum(diag[i], 1e-12)
-            # soft threshold toward zero by eps/diag, then clip to the box
-            shift = epsilon * w[i] / jnp.maximum(diag[i], 1e-12)
-            cand = jnp.sign(cand) * jnp.maximum(jnp.abs(cand) - shift, 0.0)
-            cand = jnp.clip(cand, -c_reg, c_reg) * w[i]
-            return theta.at[i].set(cand)
+    def sweep(carry, _):
+        theta, s, lam = carry              # s = sum(theta), lam -> bias
 
-        theta = jax.lax.fori_loop(0, n, coord, theta)
-        return theta, None
+        def coord(i, ts):
+            theta, s = ts
+            # others' contribution under A = K + mu*11'
+            r_i = q[i] @ theta + mu * s * w[i] - diag[i] * theta[i]
+            z = (ys[i] - lam) * w[i] - r_i
+            cand = jnp.sign(z) * jnp.maximum(jnp.abs(z) - epsilon * w[i], 0.0)
+            cand = jnp.clip(cand / jnp.maximum(diag[i], 1e-12), -c_reg, c_reg) * w[i]
+            s = s + cand - theta[i]
+            return theta.at[i].set(cand), s
 
-    theta, _ = jax.lax.scan(epoch, jnp.zeros((n,), x.dtype), None, length=epochs)
-    bias = jnp.sum(theta)                  # bias = sum theta_i from the +1 offset
+        theta, s = jax.lax.fori_loop(0, n, coord, (theta, s))
+        lam = lam + mu * s                 # multiplier step toward sum(theta)=0
+        return (theta, s, lam), None
+
+    zero = jnp.zeros((), x.dtype)
+    (theta, _, lam), _ = jax.lax.scan(
+        sweep, (jnp.zeros((n,), x.dtype), zero, zero), None, length=epochs
+    )
+    # bias from the free support vectors' KKT conditions (libsvm/kernlab);
+    # the converged multiplier lam is the fallback when none are strictly free
+    free = (jnp.abs(theta) > 1e-6) & (jnp.abs(theta) < 0.999 * c_reg) & (w > 0)
+    b_i = ys - q @ theta - epsilon * jnp.sign(theta)
+    n_free = jnp.sum(free)
+    bias = jnp.where(n_free > 0, jnp.sum(jnp.where(free, b_i, 0.0)) / jnp.maximum(n_free, 1), lam)
     return SVMState(
         sv_x=xs, theta=theta, bias=bias, sigma=sig,
         x_mean=x_mean, x_scale=x_scale, y_mean=y_mean, y_scale=y_scale,

@@ -54,6 +54,107 @@ def test_geotiff_reads_sidecar_geometry(tmp_path, rng):
     assert np.isclose(back.grid.ymax, -5.8094167820)
 
 
+def test_bigtiff_roundtrip(tmp_path, rng):
+    """Forced BigTIFF (magic 43, 8-byte offsets) must round-trip bit-exact."""
+    r = make_raster(rng)
+    path = str(tmp_path / "big.tif")
+    write_geotiff_file(path, r, bigtiff=True)
+    assert open(path, "rb").read(4)[2] == 43
+    back = read_geotiff(path)
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(r.data), rtol=1e-7)
+    assert back.grid.shape == r.grid.shape
+    assert np.isclose(back.grid.xmin, r.grid.xmin)
+
+
+def test_streamed_write_matches_array_write(tmp_path, rng):
+    """write_geotiff_stream on row blocks == write_geotiff_file on the array."""
+    from machisplin_tpu.io.geotiff import write_geotiff_stream
+
+    r = make_raster(rng, nrows=64, ncols=50)
+    arr = np.asarray(r.data)
+    p1 = str(tmp_path / "a.tif")
+    p2 = str(tmp_path / "s.tif")
+    write_geotiff_file(p1, r)
+    rps = 16
+    write_geotiff_stream(
+        p2, r.grid, (arr[i : i + rps] for i in range(0, 64, rps)), rows_per_strip=rps
+    )
+    back = read_geotiff(p2)
+    np.testing.assert_allclose(np.asarray(back.data), arr, rtol=1e-7)
+
+
+def test_stream_row_count_mismatch_raises(tmp_path, rng):
+    from machisplin_tpu.io.geotiff import write_geotiff_stream
+
+    r = make_raster(rng, nrows=64, ncols=50)
+    arr = np.asarray(r.data)
+    with pytest.raises(ValueError, match="row_blocks yielded"):
+        write_geotiff_stream(
+            str(tmp_path / "x.tif"), r.grid,
+            (arr[i : i + 16] for i in range(0, 48, 16)), rows_per_strip=16,
+        )
+
+
+def test_bigtiff_over_4gb_roundtrip(tmp_path):
+    """A > 4 GB uncompressed surface exceeds classic-TIFF offsets; the
+    streaming writer must auto-select BigTIFF and the reader must recover
+    rows on both sides of the 2^32 offset boundary (VERDICT missing #6:
+    config-4/5-scale outputs).  Interior all-zero strips become filesystem
+    holes (sparse_ok, GDAL's SPARSE_OK analog) so the test exercises real
+    >4 GB offsets without paying this container's ~20-30 MB/s disk throttle
+    for 4 GB of zeros; the first and last strips carry real data."""
+    from machisplin_tpu.io.geotiff import write_geotiff_stream
+
+    # 4.303e9 bytes of float32 — just past the 2^32 offset boundary
+    nrows, ncols = 33000, 32600
+    g = GridSpec(nrows=nrows, ncols=ncols, xmin=0.0, ymax=1.0, dx=1e-5, dy=1e-5)
+    rps = 512
+    n_strips = (nrows + rps - 1) // rps
+    path = str(tmp_path / "huge.tif")
+
+    def blocks():
+        for s in range(n_strips):
+            r0 = s * rps
+            rows = min(rps, nrows - r0)
+            if s in (0, n_strips - 1):
+                # row index ramp: position-dependent, verifiable
+                yield np.broadcast_to(
+                    np.arange(r0, r0 + rows, dtype=np.float32)[:, None], (rows, ncols)
+                )
+            else:
+                yield np.zeros((rows, ncols), np.float32)
+
+    write_geotiff_stream(
+        path, g, blocks(), compress=False, rows_per_strip=rps, sparse_ok=True
+    )
+    assert os.path.getsize(path) > (1 << 32)   # logical size crosses 4 GB
+    assert open(path, "rb").read(4)[2] == 43   # auto-selected BigTIFF
+    back = read_geotiff(path)
+    assert back.grid.shape == (nrows, ncols)
+    arr = np.asarray(back.data)
+    # data strips on both sides of the boundary + hole strips read as zeros
+    for r0 in (0, rps - 1, nrows - 1):
+        np.testing.assert_array_equal(arr[r0], np.full(ncols, r0, np.float32))
+    for r0 in (rps, nrows // 2, nrows - rps - 1):
+        assert not arr[r0].any()
+
+
+def test_sparse_write_roundtrips_zero_strips(tmp_path, rng):
+    """sparse_ok holes must be invisible to the reader (small-scale check)."""
+    from machisplin_tpu.io.geotiff import write_geotiff_stream
+
+    g = GridSpec(nrows=48, ncols=30, xmin=0.0, ymax=1.0, dx=0.01, dy=0.01)
+    arr = rng.standard_normal((48, 30)).astype(np.float32)
+    arr[16:32] = 0.0  # middle strip all-zero -> hole
+    path = str(tmp_path / "sparse.tif")
+    write_geotiff_stream(
+        path, g, (arr[i : i + 16] for i in range(0, 48, 16)),
+        compress=False, rows_per_strip=16, sparse_ok=True,
+    )
+    back = read_geotiff(path)
+    np.testing.assert_array_equal(np.asarray(back.data), arr)
+
+
 def _fake_results(rng):
     r = make_raster(rng)
     res = types.SimpleNamespace(

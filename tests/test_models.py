@@ -79,6 +79,67 @@ def test_mars_smooth_function(rng):
     assert r2(y, mars.predict(state, x)) > 0.9
 
 
+def test_mars_rsq_delta_stopping_is_data_dependent(rng):
+    """earth's ForwardPass stops once the best pair's RSq gain < thresh
+    (default 0.001), so term counts depend on the data — a noiseless
+    single-hinge response must not spend the full pair budget, while
+    thresh=0 restores the fixed-budget behavior (always n_pairs pairs)."""
+    x, _ = make_data(rng)
+    xa = np.asarray(x)
+    y = jnp.asarray(2.0 * np.maximum(xa[:, 0] - 0.5, 0) + 1.0)
+    state = mars.fit(None, x, y)
+    used = int(np.sum(np.asarray(state.pair_active)))
+    assert used < 10, f"forward pass should stop early, used {used} pairs"
+    assert r2(y, mars.predict(state, x)) > 0.99
+    # fixed-budget mode (the pre-fidelity behavior) spends everything
+    state0 = mars.fit(None, x, y, thresh=0.0)
+    assert int(np.sum(np.asarray(state0.pair_active))) == 10
+    # a richer surface earns more pairs than the single hinge needed
+    _, y_rich = make_data(rng)
+    state_rich = mars.fit(None, x, y_rich)
+    assert int(np.sum(np.asarray(state_rich.pair_active))) > used
+
+
+def test_mars_minspan_endspan_knot_filtering(rng):
+    """Selected knots must come from earth's span-filtered candidate set:
+    sorted training observations at ranks endspan + j*minspan, at least
+    endspan observations from either end (Friedman eq. 43/45, alpha=.05)."""
+    n, p = 400, 5
+    x, y = make_data(rng, n=n)
+    state = mars.fit(None, x, y)
+    minspan = max(1, int(np.floor(-np.log2(-(1.0 / (n * p)) * np.log1p(-0.05)) / 2.5)))
+    endspan = max(1, int(np.floor(3.0 - np.log2(0.05 / p))))
+    xa = np.asarray(x)
+    vars_ = np.asarray(state.vars)
+    knots = np.asarray(state.knots)
+    pair_on = np.asarray(state.pair_active) > 0
+    assert pair_on.any()
+    for v, t, on in zip(vars_, knots, pair_on):
+        if not on:
+            continue
+        xs = np.sort(xa[:, v])
+        allowed = xs[np.arange(endspan, n - endspan, minspan)]
+        assert np.any(np.isclose(allowed, t, rtol=0, atol=1e-7)), (
+            f"knot {t} (var {v}) not in the span-filtered candidate set"
+        )
+        # never within endspan observations of the ends
+        assert xs[endspan] <= t <= xs[n - endspan - 1]
+
+
+def test_mars_weighted_equals_subset_spans(rng):
+    """Fold-mask weighting must reproduce the subset fit exactly, including
+    the span/stopping logic driven by the weighted training count."""
+    x, y = make_data(rng)
+    w = jnp.asarray((np.arange(400) < 300).astype(float))
+    full = mars.fit(None, x[:300], y[:300])
+    masked = mars.fit(None, x, y, sample_weight=w)
+    np.testing.assert_allclose(
+        np.asarray(mars.predict(masked, x[:20])),
+        np.asarray(mars.predict(full, x[:20])),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_svm_fits(rng):
     x, y = make_data(rng)
     state = svm.fit(jax.random.PRNGKey(0), x, y)
@@ -93,6 +154,65 @@ def test_svm_weighted_masks_rows(rng):
     w = jnp.asarray((np.arange(200) < 150).astype(float))
     state = svm.fit(jax.random.PRNGKey(0), x, y, sample_weight=w)
     assert np.all(np.asarray(state.theta)[150:] == 0)
+
+
+def test_svm_reaches_exact_kkt_optimum(rng):
+    """The augmented-Lagrangian solver must land on the TRUE eps-SVR dual
+    optimum — the same KKT point kernlab's SMO finds — not the penalized-bias
+    approximation flagged in round 1.  Golden: an independent SLSQP solve of
+    the dual QP in (alpha, alpha*) with the sum(alpha - alpha*) = 0 equality
+    constraint (kernlab::ksvm semantics, V73:251/560)."""
+    from scipy.optimize import minimize
+
+    n = 60
+    x = rng.uniform(0, 1, (n, 3))
+    y = np.sin(3 * x[:, 0]) + x[:, 1] ** 2 + 0.1 * rng.standard_normal(n)
+    sigma, c_reg, eps = 0.5, 1.0, 0.1
+    state = svm.fit(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
+        sigma=sigma, epochs=400,
+    )
+
+    xs = np.asarray(state.sv_x, np.float64)
+    ys = (y - float(state.y_mean)) / float(state.y_scale)
+    r2m = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    kmat = np.exp(-sigma * r2m)
+
+    def obj(z):
+        t = z[:n] - z[n:]
+        return 0.5 * t @ kmat @ t - ys @ t + eps * np.sum(z)
+
+    def jac(z):
+        g = kmat @ (z[:n] - z[n:])
+        return np.concatenate([g - ys + eps, -g + ys + eps])
+
+    cons = {
+        "type": "eq",
+        "fun": lambda z: np.sum(z[:n] - z[n:]),
+        "jac": lambda z: np.concatenate([np.ones(n), -np.ones(n)]),
+    }
+    res = minimize(
+        obj, np.zeros(2 * n), jac=jac, bounds=[(0.0, c_reg)] * (2 * n),
+        constraints=[cons], method="SLSQP", options={"maxiter": 600, "ftol": 1e-14},
+    )
+    assert res.success
+    theta_qp = res.x[:n] - res.x[n:]
+
+    def dual_obj(t):
+        return 0.5 * t @ kmat @ t - ys @ t + eps * np.sum(np.abs(t))
+
+    ours = np.asarray(state.theta, np.float64)
+    # feasibility of the equality constraint and optimality within tolerance
+    assert abs(np.sum(ours)) < 1e-3
+    assert dual_obj(ours) <= dual_obj(theta_qp) + 1e-4
+
+    # prediction parity with the QP solution (bias from free-SV KKT)
+    free = (np.abs(theta_qp) > 1e-5) & (np.abs(theta_qp) < c_reg - 1e-5)
+    assert free.any()
+    b_qp = np.mean((ys - kmat @ theta_qp - eps * np.sign(theta_qp))[free])
+    f_qp = (kmat @ theta_qp + b_qp) * float(state.y_scale) + float(state.y_mean)
+    f_ours = np.asarray(svm.predict(state, jnp.asarray(x)))
+    assert np.max(np.abs(f_ours - f_qp)) < 0.02 * float(state.y_scale)
 
 
 def test_tree_binning_roundtrip(rng):
