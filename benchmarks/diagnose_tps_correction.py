@@ -44,9 +44,9 @@ def r2_gain(res, corr):
 
 def main(downsample: int = 4):
     csv = os.path.join(os.path.dirname(HERE), "artifacts/round1/bio_1_residuals.csv")
-    tab = np.genfromtxt(csv, delimiter=",", names=True)
-    res = np.asarray(tab["residual"], np.float64)
-    coords = np.stack([tab["long"], tab["lat"]], axis=1)
+    tab = np.genfromtxt(csv, delimiter=",", skip_header=1)  # index,residuals,long,lat
+    res = np.asarray(tab[:, 1], np.float64)
+    coords = np.asarray(tab[:, 2:4], np.float64)
 
     g = example_grid(downsample)
     cfg = MLTPSConfig(tps_tile_px=1500 // downsample, use_pallas=False)

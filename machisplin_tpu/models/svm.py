@@ -50,7 +50,10 @@ class SVMState(NamedTuple):
 def _rbf(a, b, sigma):
     aa = jnp.sum(a * a, axis=1)[:, None]
     bb = jnp.sum(b * b, axis=1)[None, :]
-    r2 = jnp.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+    # full-f32 matmul: bf16 inputs (TPU default) give ~1% r^2 error, which
+    # perturbs the dual solve's KKT conditions
+    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    r2 = jnp.maximum(aa + bb - 2.0 * ab, 0.0)
     return jnp.exp(-sigma * r2)
 
 

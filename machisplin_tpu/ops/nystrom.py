@@ -66,7 +66,18 @@ def nystrom_tps_fit(
     are the (range-scaled) landmarks, so every TPS prediction path applies.
 
     y may be (n,) or (n, R); lambda is GCV-selected per response when None.
+
+    Runs at HIGHEST matmul precision throughout: the normal-equations
+    accumulation squares the conditioning, so TPU's default bfloat16
+    matmul inputs are fatal here (see ops/tps._pairwise_r2 note).
     """
+    with jax.default_matmul_precision("highest"):
+        return _nystrom_tps_fit_impl(
+            coords, y, landmarks, m, lam, key, chunk, ngrid, ridge
+        )
+
+
+def _nystrom_tps_fit_impl(coords, y, landmarks, m, lam, key, chunk, ngrid, ridge):
     coords = jnp.asarray(coords)
     y = jnp.asarray(y)
     single = y.ndim == 1

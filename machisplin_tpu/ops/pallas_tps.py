@@ -3,8 +3,9 @@
 Replaces the reference's ``terra::interpolate(raster, Tps-model)`` full-grid
 prediction (V73:726/753) with a fused kernel: cell coordinates are generated
 on the fly from the grid's affine transform (never materialised in HBM),
-squared distances come from one MXU matmul, phi(r) = 0.5 r^2 log r^2 runs on
-the VPU, and the phi @ c contraction is a second MXU matmul.  HBM traffic is
+squared distances come from explicit coordinate differences on the VPU
+(exact f32 — see _kernel's numerics note), phi(r) = 0.5 r^2 log r^2 runs on
+the VPU, and the phi @ c contraction is an f32 MXU matmul.  HBM traffic is
 exactly the output surface plus the (tiny) knot/coefficient tables.
 
 Layout discipline (Mosaic rejects shape casts inside kernels): the grid is
@@ -29,21 +30,31 @@ from ..grid import GridSpec
 __all__ = ["tps_grid_pallas"]
 
 _BLOCK = 1024
-_KNOT_CHUNK = 512
+# finer knot chunks cut zero-coefficient padding waste (813 knots pad to 896
+# rather than 1024); K=128 keeps the phi @ c dot MXU-shaped
+_KNOT_CHUNK = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(geo_ref, bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
+def _kernel(geo_ref, ktab_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
     """One 1024-cell block: phi-matvec against all knot chunks.
 
     geo:  (4, 1) SMEM  coordinate shift/scale [sx0, sx1, sy0, sy1]
-    bmat: (8, n_pad)   rows [-2*kx, -2*ky, |k|^2, 0...] in scaled coords
+    ktab: (8, n_pad)   rows [kx, ky, 0...] scaled knot coordinates
     c:    (n_pad, R)   radial coefficients (0 at padding)
     d:    (8, R)       polynomial coefficients [x, y, 1, 0...] ordering
     out:  (1024, R)    flat surface block
+
+    Numerics: r^2 comes from explicit coordinate differences on the VPU —
+    NOT the |p|^2+|k|^2-2pk matmul expansion, which cancels catastrophically
+    near r=0 and (worse) runs with bfloat16 inputs at TPU default matmul
+    precision; with a near-interpolating spline's large oscillating c this
+    produced the round-1 "correction made R^2 worse" regression.  The
+    phi @ c contraction is an f32 MXU matmul at HIGHEST precision; its cost
+    is dwarfed by the per-(cell, knot) log evaluation.
     """
     xmin, dx, ymax, dy = geom
     sx0, sx1, sy0, sy1 = geo_ref[0, 0], geo_ref[1, 0], geo_ref[2, 0], geo_ref[3, 0]
@@ -57,24 +68,34 @@ def _kernel(geo_ref, bmat_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
     py = (gy - sy0) / sy1
     ones = jnp.ones_like(px)
     zeros = jnp.zeros_like(px)
-    # (1024, 8): [x, y, 1, 0, 0, 0, 0, 0] — MXU-aligned contraction dim
+    # (1024, 8): [x, y, 1, 0, 0, 0, 0, 0] for the polynomial term
     a = jnp.concatenate([px, py, ones, zeros, zeros, zeros, zeros, zeros], axis=1)
-    p2 = px * px + py * py                                 # (1024, 1)
 
     n_resp = out_ref.shape[1]
     acc = jnp.zeros((_BLOCK, n_resp), jnp.float32)
 
     def chunk_body(k, acc):
-        b = bmat_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]          # (8, 512)
-        r2 = jnp.dot(a, b, preferred_element_type=jnp.float32) + p2   # (1024, 512)
-        r2 = jnp.maximum(r2, 0.0)
-        safe = jnp.maximum(r2, jnp.finfo(jnp.float32).tiny)
-        phi = jnp.where(r2 > 0, 0.5 * r2 * jnp.log(safe), 0.0)
+        kx = ktab_ref[0:1, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]       # (1, 512)
+        ky = ktab_ref[1:2, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]
+        ddx = px - kx                                                 # (1024, 512)
+        ddy = py - ky
+        r2 = ddx * ddx + ddy * ddy
+        # r2 * log(max(r2, tiny)) is exact at r2=0 (0 * log(tiny) == 0),
+        # so no select is needed
+        phi = 0.5 * r2 * jnp.log(jnp.maximum(r2, jnp.finfo(jnp.float32).tiny))
         cc = c_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]            # (512, R)
-        return acc + jnp.dot(phi, cc, preferred_element_type=jnp.float32)
+        return acc + jnp.dot(
+            phi, cc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-    out_ref[:] = acc + jnp.dot(a, d_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = acc + jnp.dot(
+        a, d_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -97,8 +118,7 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
         dcols = dcols.astype(jnp.float32)
         kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
         ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
-        bmat = jnp.stack([-2.0 * kx, -2.0 * ky, kx * kx + ky * ky])  # (3, n_pad)
-        bmat = jnp.pad(bmat, ((0, 8 - 3), (0, 0)))                   # (8, n_pad)
+        ktab = jnp.pad(jnp.stack([kx, ky]), ((0, 8 - 2), (0, 0)))    # (8, n_pad)
         cpad = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))              # zero coef => no-op
         # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1, 0...]
         dperm = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
@@ -124,7 +144,7 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
                 bytes_accessed=4 * cells_pad * n_resp,
                 transcendentals=cells_pad * n_pad,
             ),
-        )(geo, bmat, cpad, dpad)
+        )(geo, ktab, cpad, dpad)
         return out[:n_cells].reshape(grid.nrows, grid.ncols, n_resp)
 
     return jax.jit(run)

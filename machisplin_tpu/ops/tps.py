@@ -58,12 +58,19 @@ def _phi(r2, dtype):
 
 
 def _pairwise_r2(a, b):
-    """Squared distances between (n,2) and (m,2) via the MXU-friendly
-    |a|^2 + |b|^2 - 2ab' expansion, clipped at zero."""
-    aa = jnp.sum(a * a, axis=1)[:, None]
-    bb = jnp.sum(b * b, axis=1)[None, :]
-    ab = a @ b.T
-    return jnp.maximum(aa + bb - 2.0 * ab, 0.0)
+    """Squared distances between (n,2) and (m,2) by explicit differences.
+
+    The |a|^2 + |b|^2 - 2ab' matmul expansion is avoided deliberately: on
+    TPU the default matmul precision truncates inputs to bfloat16 and the
+    expansion cancels catastrophically near r=0, which poisons phi(r) and
+    (through the huge oscillating radial coefficients of a near-
+    interpolating spline) the whole surface — the round-1 "TPS correction
+    made R^2 worse" regression.  The difference form is exact f32 VPU work
+    and the d=2 contraction was never MXU-shaped anyway.
+    """
+    dx = a[:, 0][:, None] - b[:, 0][None, :]
+    dy = a[:, 1][:, None] - b[:, 1][None, :]
+    return dx * dx + dy * dy
 
 
 class TPSFactor(NamedTuple):
@@ -103,7 +110,16 @@ def tps_factor(coords, mask=None) -> TPSFactor:
 
     coords: (n, 2) raw coordinates (e.g. LONG, LAT).
     mask:   optional (n,) 0/1; padded rows are excluded exactly.
+
+    All matmuls (including those inside QR/eigh) run at HIGHEST precision:
+    the kernel matrix is severely ill-conditioned and TPU's default
+    bfloat16 matmul inputs visibly degrade the GCV fit (round-1 regression).
     """
+    with jax.default_matmul_precision("highest"):
+        return _tps_factor_impl(coords, mask)
+
+
+def _tps_factor_impl(coords, mask):
     coords = jnp.asarray(coords)
     n = coords.shape[0]
     dtype = coords.dtype
@@ -223,6 +239,11 @@ def tps_solve(
     lam: fixed smoothing parameter(s) (fields' lambda = rho / n_active); None
          selects per-response lambda by GCV.
     """
+    with jax.default_matmul_precision("highest"):
+        return _tps_solve_impl(factor, y, lam, ngrid, refine)
+
+
+def _tps_solve_impl(factor, y, lam, ngrid, refine):
     y = jnp.asarray(y)
     single = y.ndim == 1
     ycols = y[:, None] if single else y                    # (n, R)
@@ -270,13 +291,19 @@ def tps_fit(coords, y, mask=None, lam=None, ngrid: int = 200, refine: int = 40) 
 
 
 def _predict_block(model: TPSModel, pts_scaled):
-    """Spline evaluation at (m, 2) scaled points -> (m,) or (m, R)."""
-    r2 = _pairwise_r2(pts_scaled, model.knots)
-    phi = _phi(r2, pts_scaled.dtype)
-    poly = jnp.concatenate(
-        [jnp.ones((pts_scaled.shape[0], 1), pts_scaled.dtype), pts_scaled], axis=1
-    )
-    return phi @ model.c + poly @ model.d
+    """Spline evaluation at (m, 2) scaled points -> (m,) or (m, R).
+
+    The phi @ c contraction runs at HIGHEST precision: c oscillates with
+    large magnitude when lambda is small, so bfloat16 matmul inputs (the
+    TPU default) wreck the cancellation the spline depends on.
+    """
+    with jax.default_matmul_precision("highest"):
+        r2 = _pairwise_r2(pts_scaled, model.knots)
+        phi = _phi(r2, pts_scaled.dtype)
+        poly = jnp.concatenate(
+            [jnp.ones((pts_scaled.shape[0], 1), pts_scaled.dtype), pts_scaled], axis=1
+        )
+        return phi @ model.c + poly @ model.d
 
 
 def tps_predict(model: TPSModel, points) -> jax.Array:

@@ -77,7 +77,10 @@ def _predict_tile(model: TPSModel, origin, tile_shape, cell, slab_rows: int = 64
         pts = jnp.stack([px, pyf], axis=1)
         phi = _phi(_pairwise_r2(pts, model.knots), dtype)
         poly = jnp.concatenate([jnp.ones((pts.shape[0], 1), dtype), pts], axis=1)
-        out = phi @ model.c + poly @ model.d
+        # HIGHEST: bf16 matmul inputs (TPU default) break the large-coefficient
+        # cancellation in phi @ c — see ops/tps._predict_block
+        with jax.default_matmul_precision("highest"):
+            out = phi @ model.c + poly @ model.d
         return None, out.reshape((slab, cols) + out.shape[1:])
 
     starts = (jnp.arange(n_slabs) * slab).astype(dtype)

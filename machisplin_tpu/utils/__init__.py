@@ -1,4 +1,5 @@
+from .cache import enable_compile_cache
 from .logging import banner, log, run_log
 from .timing import PhaseTimer, trace
 
-__all__ = ["PhaseTimer", "banner", "log", "run_log", "trace"]
+__all__ = ["PhaseTimer", "banner", "enable_compile_cache", "log", "run_log", "trace"]

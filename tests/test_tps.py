@@ -175,3 +175,20 @@ def test_host_solver_matches_device(rng):
         np.asarray(tps_predict(dev, test_pts)),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_pairwise_r2_no_expansion_cancellation():
+    """_pairwise_r2 must stay accurate for clustered points far from the
+    origin.  The |a|^2+|b|^2-2ab' matmul expansion loses essentially all
+    precision here in f32 (and is bfloat16-truncated at TPU default matmul
+    precision) — the root cause of the round-1 "TPS correction made R^2
+    worse" regression — so the implementation uses explicit differences."""
+    from machisplin_tpu.ops.tps import _pairwise_r2
+
+    rng = np.random.default_rng(7)
+    base = np.array([12.345, -67.89])
+    a = (base + 1e-3 * rng.standard_normal((50, 2))).astype(np.float32)
+    b = (base + 1e-3 * rng.standard_normal((40, 2))).astype(np.float32)
+    got = np.asarray(_pairwise_r2(jnp.asarray(a), jnp.asarray(b)))
+    want = ((a[:, None, :].astype(np.float64) - b[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
