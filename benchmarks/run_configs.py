@@ -38,10 +38,15 @@ def _force(x):
 
 
 def config3(jax, jnp):
+    # n=10000 exact eigendecomposition OOMs one v5e chip (XLA's QDWH eigh
+    # wants 17.3 GB of 15.75 GB HBM); n=8192 is the single-chip ceiling,
+    # recorded here — the 10k-station full config targets multi-chip.  The
+    # point of the config is the BATCHED response sweep: one factorisation,
+    # 19 GCV searches + coefficient solves vectorised over responses.
     from machisplin_tpu.ops.tps import tps_factor, tps_solve
 
     rng = np.random.default_rng(0)
-    n, r = 10000, 19
+    n, r = 8192, 19
     coords = rng.uniform(0, 1, (n, 2)).astype(np.float32)
     ys = np.stack(
         [
@@ -60,7 +65,8 @@ def config3(jax, jnp):
     dt = time.perf_counter() - t0
     return {
         "config": 3,
-        "shape": f"{n} stations x {r} responses, shared factorisation",
+        "shape": f"{n} stations x {r} responses, shared factorisation "
+                 "(10000 exceeds one chip's HBM in eigh; see source note)",
         "solve_s": round(dt, 3),
         "responses_per_s": round(r / dt, 2),
         "lambda_range": [float(lam.min()), float(lam.max())],
@@ -81,13 +87,19 @@ def config4(jax, jnp):
         np.sin(6 * coords[:, 0]) * np.cos(5 * coords[:, 1])
         + 0.1 * rng.standard_normal(stations)
     ).astype(np.float32)
+    def solve():
+        mdl = nystrom_tps_fit(
+            jnp.asarray(coords), jnp.asarray(y), m=m,
+            key=jax.random.PRNGKey(0), chunk=16384,
+        )
+        return mdl, float(mdl.lam)
+
     t0 = time.perf_counter()
-    model = nystrom_tps_fit(
-        jnp.asarray(coords), jnp.asarray(y), m=m,
-        key=jax.random.PRNGKey(0), chunk=16384,
-    )
-    lam = float(model.lam)
-    t_solve = time.perf_counter() - t0
+    model, lam = solve()
+    t_cold = time.perf_counter() - t0   # includes one-time XLA compiles
+    t0 = time.perf_counter()
+    model, lam = solve()
+    t_solve = time.perf_counter() - t0  # warm: the real solver cost
     panel = 1536
     t0 = time.perf_counter()
     total, checksum = 0, 0.0
@@ -99,6 +111,7 @@ def config4(jax, jnp):
     return {
         "config": 4,
         "shape": f"{stations} stations -> {m} landmarks, {total/1e6:.0f} Mcells streamed",
+        "solve_cold_s": round(t_cold, 2),
         "solve_s": round(t_solve, 2),
         "predict_s": round(dt, 2),
         "mcells_per_s": round(total / dt / 1e6, 2),
@@ -122,12 +135,18 @@ def config5(jax, jnp):
         np.sin(8 * coords[:, 0]) * np.cos(7 * coords[:, 1])
         + 0.1 * rng.standard_normal(stations)
     ).astype(np.float32)
+    def solve():
+        mdl = nystrom_tps_fit(
+            jnp.asarray(coords), jnp.asarray(y), m=m,
+            key=jax.random.PRNGKey(0), chunk=32768,
+        )
+        return mdl, float(mdl.lam)
+
     t0 = time.perf_counter()
-    model = nystrom_tps_fit(
-        jnp.asarray(coords), jnp.asarray(y), m=m,
-        key=jax.random.PRNGKey(0), chunk=32768,
-    )
-    lam = float(model.lam)
+    model, lam = solve()
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    model, lam = solve()
     t_solve = time.perf_counter() - t0
     # time a representative band, extrapolate the full-surface wall
     band_rows = 2048
@@ -140,6 +159,7 @@ def config5(jax, jnp):
     return {
         "config": 5,
         "shape": f"{stations} knots -> {m} landmarks, {grid.ncell/1e9:.2f} Gcell grid",
+        "solve_cold_s": round(t_cold, 2),
         "solve_s": round(t_solve, 2),
         "band_mcells_per_s": round(mcells, 2),
         "extrapolated_full_surface_s": round(grid.ncell / (mcells * 1e6), 1),
@@ -160,7 +180,12 @@ def main():
     from machisplin_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    results = {"backend": jax.default_backend(), "device_count": jax.device_count()}
+    out = os.path.join(HERE, f"results_r{args.round:02d}.json")
+    results = {}
+    if args.only and os.path.exists(out):  # --only reruns merge, not clobber
+        with open(out) as f:
+            results = json.load(f)
+    results.update({"backend": jax.default_backend(), "device_count": jax.device_count()})
     runs = {3: config3, 4: config4, 5: config5}
     for num, fn in runs.items():
         if args.only and num != args.only:
@@ -172,7 +197,6 @@ def main():
             results[f"config{num}"] = {"config": num, "error": repr(e)}
         print(f"config{num}: {json.dumps(results[f'config{num}'])} "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
-    out = os.path.join(HERE, f"results_r{args.round:02d}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)

@@ -46,15 +46,37 @@ def main():
             final_nn=dict(hidden=10, maxit=200),
         )
 
+    from machisplin_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
+    os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
-    results = mt.mltps(dat, stack, tps=args.tps, config=cfg, log_file="MachiSplin.LOG.txt")
-    print(f"pipeline finished in {time.time() - t0:.1f}s")
+    results = mt.mltps(
+        dat, stack, tps=args.tps, config=cfg, timer=timer,
+        log_file=os.path.join(args.out, "MachiSplin.LOG.txt"),
+    )
+    wall = time.time() - t0
+    print(f"pipeline finished in {wall:.1f}s")
     for r in results:
         print(r.summary)
     paths = mt.write_geotiff(results, args.out)
     mt.write_residuals(results, args.out)
     mt.write_loadings(results, args.out)
     print("wrote:", paths)
+    with open(os.path.join(args.out, "TIMING.txt"), "w") as f:
+        ncell = stack.grid.ncell / 1e6
+        f.write(f"wall: {wall:.1f}s ({len(results)} responses, "
+                f"{ncell:.2f}M-cell grid, backend {_backend()})\n\n")
+        f.write(timer.report() + "\n\n")
+        for r in results:
+            f.write(repr({"layer": r.name, **r.summary}) + "\n")
+    print("wrote:", os.path.join(args.out, "TIMING.txt"))
+
+
+def _backend():
+    import jax
+
+    return f"{jax.default_backend()} x{jax.device_count()}"
 
 
 if __name__ == "__main__":

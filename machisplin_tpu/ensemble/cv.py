@@ -26,6 +26,8 @@ import numpy as np
 from ..models import brt, gam, gbm_step, mars, nn, rf, svm
 from .kfold import fold_masks, kfold
 
+from ..utils.precision import highest_precision
+
 
 @dataclasses.dataclass(frozen=True)
 class CVConfig:
@@ -58,6 +60,7 @@ def _nn_fold(key, x, y, train_w, cfg):
     return nn.predict(state, x) * y_max + y_min
 
 
+@highest_precision
 def run_cv(
     key,
     x,

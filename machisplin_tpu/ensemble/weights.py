@@ -32,6 +32,8 @@ from scipy.optimize import minimize
 
 from ..models.base import LETTER_ORDER
 
+from ..utils.precision import highest_precision
+
 
 class WeightResult(NamedTuple):
     weights: np.ndarray        # (A,) raw optimised weights in [0, 1]
@@ -91,6 +93,7 @@ def _select(weights: np.ndarray, letters: Sequence[str], objective: float) -> We
     )
 
 
+@highest_precision
 def optimize_weights_lbfgsb(residuals, letters: Sequence[str] = LETTER_ORDER) -> WeightResult:
     """Reference-faithful path: L-BFGS-B from 0.5 per weight (V73:327-333)."""
     res = np.asarray(residuals, np.float64)
@@ -113,6 +116,7 @@ def optimize_weights_lbfgsb(residuals, letters: Sequence[str] = LETTER_ORDER) ->
     return _select(out.x, letters, out.fun)
 
 
+@highest_precision
 def optimize_weights_aicc(residuals, letters: Sequence[str] = LETTER_ORDER) -> WeightResult:
     """Historical V18 selection: enumerate every equal-weight subset of the
     algorithms and pick minimum AICc with parameter count = ensemble size
@@ -145,6 +149,7 @@ def optimize_weights_aicc(residuals, letters: Sequence[str] = LETTER_ORDER) -> W
     )
 
 
+@highest_precision
 def optimize_weights_sweep(
     residuals,
     letters: Sequence[str] = LETTER_ORDER,

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from .base import as_weight
 from .trees import Tree, bin_data, grow_bestfirst_tree, make_bins, tree_predict
 
+from ..utils.precision import highest_precision
+
 
 class BRTState(NamedTuple):
     trees: Tree           # stacked, leading axis = n_trees (budget)
@@ -34,6 +36,7 @@ class BRTState(NamedTuple):
     holdout_deviance: jax.Array  # (n_trees,) deviance on sample_weight==0 rows
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -110,11 +113,17 @@ def fit(
     )
 
 
-def predict(state: BRTState, x, n_trees=None, native_threshold: int = 65536) -> jax.Array:
+def predict(
+    state: BRTState, x, n_trees=None, native_threshold: int = 65536, tables=None
+) -> jax.Array:
     """F0 + lr * sum of active trees (optionally truncated at ``n_trees``).
 
-    Large concrete batches route to the multi-threaded C++ forest predictor
-    when built (see models/rf.predict for the rationale)."""
+    Device batches route to the bin-interval leaf kernel
+    (ops/pallas_forest); large concrete CPU batches to the multi-threaded
+    C++ forest predictor when built (see models/rf.predict for the
+    rationale).  Pass ``tables`` (ops.pallas_forest.build_leaf_bins of
+    ``state.trees``) to amortise the host table walk over many blocks.
+    """
     x = jnp.asarray(x)
     budget = state.tree_active.shape[0]
     act = state.tree_active
@@ -122,18 +131,19 @@ def predict(state: BRTState, x, n_trees=None, native_threshold: int = 65536) -> 
         act = act * (jnp.arange(budget) < n_trees)
     weights = act * state.lr
     concrete = not isinstance(x, jax.core.Tracer)
-    if concrete and x.shape[0] >= native_threshold:
-        import jax as _jax
+    concrete_trees = not isinstance(state.trees.feat, jax.core.Tracer)
+    on_device = jax.default_backend() != "cpu"
+    if on_device and (
+        tables is not None
+        or (concrete and concrete_trees and x.shape[0] >= native_threshold)
+    ):
+        # gbm trees are tiny (J+1 leaves) and final models run to 10^4
+        # trees: dense bin-interval leaf algebra beats both serial
+        # traversal and host threads by orders of magnitude
+        from ..ops.pallas_forest import forest_predict_bins
 
-        if _jax.default_backend() != "cpu":
-            # gbm trees are tiny (J+1 leaves) and final models run to 10^4
-            # trees: leaf assignment as dense MXU algebra beats both serial
-            # traversal and host threads by orders of magnitude
-            from .trees import bestfirst_forest_predict_mxu
-
-            return state.f0 + bestfirst_forest_predict_mxu(
-                state.trees, x, weights
-            )
+        return state.f0 + forest_predict_bins(state.trees, x, weights, tables=tables)
+    if concrete and x.shape[0] >= native_threshold and not on_device:
         import numpy as np
 
         from ..io.native import forest_predict_native

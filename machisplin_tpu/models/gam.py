@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from .base import as_weight
 
+from ..utils.precision import highest_precision
+
 
 class GAMState(NamedTuple):
     coef: jax.Array       # (p + 1,) [intercept, covariates...]
@@ -22,6 +24,7 @@ class GAMState(NamedTuple):
     x_scale: jax.Array    # (p,)
 
 
+@highest_precision
 def fit(key, x, y, *, sample_weight=None, ridge: float = 1e-8) -> GAMState:
     del key
     x = jnp.asarray(x)
@@ -41,6 +44,7 @@ def fit(key, x, y, *, sample_weight=None, ridge: float = 1e-8) -> GAMState:
     return GAMState(coef=coef, x_mean=x_mean, x_scale=x_scale)
 
 
+@highest_precision
 def predict(state: GAMState, x) -> jax.Array:
     x = jnp.asarray(x)
     xs = (x - state.x_mean) / state.x_scale

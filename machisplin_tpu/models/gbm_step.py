@@ -54,6 +54,8 @@ from .trees import (
     tree_predict,
 )
 
+from ..utils.precision import highest_precision
+
 
 class GBMStepResult(NamedTuple):
     final: brt.BRTState
@@ -321,6 +323,7 @@ def _cv_deviance_curve_multi(
     return jnp.asarray(stopped), jnp.asarray(dev, x.dtype), edges, xb
 
 
+@highest_precision
 def fit_outer_batched(
     key,
     x,
@@ -422,6 +425,7 @@ def fit_outer_batched(
     return np.asarray(preds), best_trees
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -585,12 +589,12 @@ def fit(
     )
 
 
-def predict(result: GBMStepResult, x, type: str = "link") -> jax.Array:
+def predict(result: GBMStepResult, x, type: str = "link", tables=None) -> jax.Array:
     """Boosted score at ``x``; ``type='response'`` applies the inverse link
     (predict.gbm returns the link scale by default; the reference applies
     exp/logistic by hand at its call sites, V73:1837-1851).  For gaussian —
     the only family mltps uses — the two are identical."""
-    out = brt.predict(result.final, x)
+    out = brt.predict(result.final, x, tables=tables)
     if type == "response":
         return response(out, result.family)
     return out

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 
 from .base import as_weight
 
+from ..utils.precision import highest_precision
+
 
 class MARSState(NamedTuple):
     vars: jax.Array      # (T,) int32 variable per hinge pair
@@ -83,6 +85,7 @@ def _masked_rss(bmat, ysw, mask, ridge=None):
     return jnp.sum(resid * resid), coef_n * m / s
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -261,6 +264,7 @@ def fit(
     )
 
 
+@highest_precision
 def predict(state: MARSState, x) -> jax.Array:
     b = _design(jnp.asarray(x), state.vars, state.knots)
     return b @ (state.coef * state.active)

@@ -25,6 +25,8 @@ import optax
 
 from .base import as_weight
 
+from ..utils.precision import highest_precision
+
 
 class NNState(NamedTuple):
     w1: jax.Array        # (p, h)
@@ -41,6 +43,7 @@ def _forward(params, xs):
     return hidden @ w2 + b2
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -94,6 +97,7 @@ def fit(
     return NNState(w1=w1, b1=b1, w2=w2, b2=b2, x_mean=x_mean, x_scale=x_scale)
 
 
+@highest_precision
 def predict(state: NNState, x) -> jax.Array:
     xs = (jnp.asarray(x) - state.x_mean) / state.x_scale
     return _forward((state.w1, state.b1, state.w2, state.b2), xs)

@@ -23,6 +23,8 @@ import numpy as np
 from .base import as_weight
 from .trees import Tree, bin_data, forest_predict, grow_level_tree, make_bins, tree_predict
 
+from ..utils.precision import highest_precision
+
 
 class RFState(NamedTuple):
     trees: Tree           # stacked, leading axis = ntree
@@ -31,6 +33,7 @@ class RFState(NamedTuple):
     oob_count: jax.Array  # (ntree, n) bootstrap counts (0 => OOB)
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -79,21 +82,35 @@ def fit(
     return RFState(trees=trees, edges=edges, max_depth=max_depth, oob_count=counts)
 
 
-def predict(state: RFState, x, native_threshold: int = 65536) -> jax.Array:
+def predict(state: RFState, x, native_threshold: int = 65536, tables=None) -> jax.Array:
     """Forest prediction.
 
-    Large concrete batches route to the multi-threaded C++ predictor
-    (native/machisplin_native.cpp) when built: branchy tree traversal is the
-    one workload TPU vector units cannot run at speed — the same division of
-    labor as randomForest's own native core.  Traced values (inside jit/vmap)
-    and small batches use the blocked gather path.
+    Device batches route to the bin-interval leaf kernel
+    (ops/pallas_forest — dense membership algebra, no gathers); large
+    concrete CPU batches to the multi-threaded C++ predictor
+    (native/machisplin_native.cpp) — the same division of labor as
+    randomForest's own native core.  Traced values (inside jit/vmap) and
+    small batches use the blocked gather path.  Pass ``tables``
+    (ops.pallas_forest.build_leaf_bins of ``state.trees``) to amortise the
+    host table walk over many blocks.
     """
     x = jnp.asarray(x)
+    t = state.trees.feat.shape[0]
     concrete = not isinstance(x, jax.core.Tracer)
-    if concrete and x.shape[0] >= native_threshold:
+    concrete_trees = not isinstance(state.trees.feat, jax.core.Tracer)
+    on_device = jax.default_backend() != "cpu"
+    if on_device and (
+        tables is not None
+        or (concrete and concrete_trees and x.shape[0] >= native_threshold)
+    ):
+        from ..ops.pallas_forest import forest_predict_bins
+
+        return forest_predict_bins(
+            state.trees, x, jnp.full(t, 1.0 / t, jnp.float32), tables=tables
+        )
+    if concrete and x.shape[0] >= native_threshold and not on_device:
         from ..io.native import forest_predict_native
 
-        t = state.trees.feat.shape[0]
         out = forest_predict_native(
             state.trees, x, state.max_depth, np.full(t, 1.0 / t, np.float32)
         )
@@ -102,6 +119,7 @@ def predict(state: RFState, x, native_threshold: int = 65536) -> jax.Array:
     return forest_predict(state.trees, x, state.max_depth)
 
 
+@highest_precision
 def importance(state: RFState, x, y, names, key=None, sample_weight=None) -> dict:
     """randomForest-style importance matrix: %IncMSE (OOB permutation) and
     IncNodePurity (total split-gain), per covariate (V73:519)."""

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 
 from .base import as_weight
 
+from ..utils.precision import highest_precision
+
 
 class SVMState(NamedTuple):
     sv_x: jax.Array       # (n, p) standardised training inputs
@@ -72,6 +74,7 @@ def _sigest(xs, w, key):
     return jnp.mean(inv)
 
 
+@highest_precision
 def fit(
     key,
     x,
@@ -143,6 +146,7 @@ def fit(
     )
 
 
+@highest_precision
 def predict(state: SVMState, x) -> jax.Array:
     xs = (jnp.asarray(x) - state.x_mean) / state.x_scale
     k = _rbf(xs, state.sv_x, state.sigma)

@@ -357,7 +357,15 @@ def bestfirst_forest_predict_mxu(
     def cell_body(_, xblk):
         def tree_body(acc, inp):
             f1h, thr, pm, ct, wv = inp
-            xv = jnp.dot(xblk, f1h, preferred_element_type=jnp.float32)  # (mb, tc*N)
+            # HIGHEST: default TPU matmul precision would truncate the
+            # feature VALUES to bfloat16 before the threshold compare,
+            # flipping decisions near split points (verified on-chip:
+            # max error 0.4 on a 2000-tree forest at default precision)
+            xv = jnp.dot(
+                xblk, f1h,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (mb, tc*N)
             # +-1 decision bits and path matrices are small exact integers:
             # bf16 inputs at f32 accumulation double MXU throughput losslessly
             bits = (2.0 * (xv > thr).astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
@@ -368,7 +376,10 @@ def bestfirst_forest_predict_mxu(
                 preferred_element_type=jnp.float32,
             )                                                    # (tc, mb, N)
             sel = (z == ct[:, None, :]).astype(x.dtype)
-            return acc + jnp.einsum("tmq,tq->m", sel, wv), None
+            # HIGHEST keeps the f32 leaf values un-truncated on TPU
+            return acc + jnp.einsum(
+                "tmq,tq->m", sel, wv, precision=jax.lax.Precision.HIGHEST
+            ), None
 
         acc, _ = jax.lax.scan(
             tree_body, jnp.zeros((mb,), x.dtype),

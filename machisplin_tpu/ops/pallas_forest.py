@@ -1,0 +1,248 @@
+"""Pallas TPU kernel for forest raster prediction via leaf bin-intervals.
+
+Replaces the reference's native tree engines' predict paths — gbm's
+C++ traversal (V73:493 final BRT raster predict) and randomForest's
+Fortran walk (V73:519) — for the huge-batch raster case (terra::predict,
+V73:468/497/521).  Pointer-chasing traversal is hopeless on a TPU and the
+earlier dense path-matrix algebra (models/trees.bestfirst_forest_predict_mxu)
+is HBM-bound on its (cells, trees, nodes) intermediates.
+
+TPU-first reformulation: every leaf of an axis-aligned tree is a
+hyperrectangle, and every split threshold is drawn from the model's
+histogram bin edges, so a leaf is an *interval in bin space* per feature:
+
+    x reaches leaf  <=>  for every feature f:  lo[f] <= bin_f(x) <= hi[f]
+
+with bin_f(x) = #{edges_f < x}.  Prediction per cell block is then pure
+dense algebra with NO gathers and no per-tree matmuls:
+
+  * bin indices: (cells, B) compares + row-sum on the VPU per feature;
+  * leaf membership: two broadcast compares against the (8, leaves) lo/hi
+    tables, AND-accumulated over features on the VPU;
+  * the weighted leaf-value reduction: one (cells, leaves) x (leaves, 1)
+    MXU matvec.
+
+Everything stays 2D (Mosaic rejects in-kernel reshapes); leaf tables
+stream through VMEM in chunks while each cell block's selection mask
+never touches HBM.  The interval tables are built once per forest on the
+host (the same reachable-subtree walk as build_path_matrices).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["LeafBinTables", "build_leaf_bins", "forest_predict_bins"]
+
+_CELL_BLOCK = 2048
+_LEAF_CHUNK = 512
+_FEAT_PAD = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class LeafBinTables(NamedTuple):
+    """Host-built bin-space leaf geometry of one forest (weight-free)."""
+
+    etab: np.ndarray      # (8, B_pad) f32 per-feature sorted edges, +inf pad
+    lo: np.ndarray        # (8, TL_pad) f32 per-feature lower bin bound
+    hi: np.ndarray        # (8, TL_pad) f32 upper bound (pad slots lo=1,hi=0)
+    leaf_tree: np.ndarray  # (TL_pad,) int32 tree id of each leaf slot (-1 pad)
+    leaf_node: np.ndarray  # (TL_pad,) int32 node id of each leaf slot (0 pad)
+    n_feat: int           # real feature count p
+    n_bins: int           # B (edges + 1) before lane padding
+
+
+def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
+    """Walk every tree's reachable subtree and emit leaf bin-intervals.
+
+    trees: a models.trees.Tree pytree of concrete arrays with a leading
+    tree axis — feat/thr/internal/left/right (T, N).
+    """
+    feat = np.asarray(trees.feat)
+    thr = np.asarray(trees.thr)
+    internal = np.asarray(trees.internal)
+    left = np.asarray(trees.left)
+    right = np.asarray(trees.right)
+    t, n_nodes = feat.shape
+    p = int(n_feat if n_feat is not None else feat.max() + 1)
+    if p > _FEAT_PAD:
+        raise ValueError(f"forest uses {p} features > kernel budget {_FEAT_PAD}")
+
+    # per-feature sorted unique thresholds over all internal nodes
+    int_mask = internal > 0
+    edges = [np.unique(thr[int_mask & (feat == f)]) for f in range(p)]
+    n_edges = max((len(e) for e in edges), default=0)
+    n_bins = n_edges + 1
+    b_pad = _round_up(max(n_edges, 1), 128)
+    etab = np.full((_FEAT_PAD, b_pad), np.inf, np.float32)
+    for f in range(p):
+        etab[f, : len(edges[f])] = edges[f]
+
+    los, his, l_tree, l_node = [], [], [], []
+    for ti in range(t):
+        stack = [(0, np.zeros(p, np.int64), np.full(p, n_bins - 1, np.int64))]
+        while stack:
+            q, lo_q, hi_q = stack.pop()
+            if int_mask[ti, q]:
+                f = int(feat[ti, q])
+                k = int(np.searchsorted(edges[f], thr[ti, q]))
+                lo_l, hi_l = lo_q.copy(), hi_q.copy()
+                hi_l[f] = min(hi_l[f], k)          # left: x <= thr <=> bin <= k
+                lo_r, hi_r = lo_q.copy(), hi_q.copy()
+                lo_r[f] = max(lo_r[f], k + 1)      # right: bin >= k + 1
+                stack.append((int(left[ti, q]), lo_l, hi_l))
+                stack.append((int(right[ti, q]), lo_r, hi_r))
+            else:
+                los.append(lo_q)
+                his.append(hi_q)
+                l_tree.append(ti)
+                l_node.append(q)
+
+    n_leaves = len(l_tree)
+    tl_pad = _round_up(max(n_leaves, 1), _LEAF_CHUNK)
+    lo = np.ones((_FEAT_PAD, tl_pad), np.float32)   # empty interval at padding
+    hi = np.zeros((_FEAT_PAD, tl_pad), np.float32)
+    lo[:p, :n_leaves] = np.stack(los, axis=1)
+    hi[:p, :n_leaves] = np.stack(his, axis=1)
+    leaf_tree = np.full(tl_pad, -1, np.int32)
+    leaf_node = np.zeros(tl_pad, np.int32)
+    leaf_tree[:n_leaves] = l_tree
+    leaf_node[:n_leaves] = l_node
+    return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins)
+
+
+def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, *, p_real):
+    """One (cell block, leaf chunk) tile: membership AND-product + matvec.
+
+    Layout: cells ride the LANE axis throughout — bin indices are (1, mb),
+    membership masks (tn, mb), and each program writes a (1, mb) output
+    row, so the flat surface ships with zero tile-padding waste (a
+    cells-on-sublanes layout would pad the 1-wide trailing axis to 128
+    lanes: 128x the surface in HBM).
+    """
+    j = pl.program_id(1)
+    sel = None
+    for f in range(p_real):
+        xf = x_ref[f : f + 1, :]                              # (1, mb)
+        binf = jnp.sum(
+            (xf > etab_ref[:, f : f + 1]).astype(jnp.float32),
+            axis=0,
+            keepdims=True,
+        )                                                     # (1, mb)
+        ok = (
+            (binf >= lo_ref[:, f : f + 1]) & (binf <= hi_ref[:, f : f + 1])
+        ).astype(jnp.float32)                                 # (tn, mb)
+        sel = ok if sel is None else sel * ok
+    contrib = jnp.dot(
+        wv_ref[:], sel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                         # (1, mb)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p_real", "m_real", "use_pallas", "interpret")
+)
+def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
+                  interpret=False):
+    m_pad = x_pad.shape[0]
+    tl_pad = lo.shape[1]
+    if not use_pallas:
+        # jnp twin of the kernel (CPU tests / non-TPU backends)
+        bins = jnp.sum(
+            x_pad[:, :p_real, None] > etab[None, :p_real, :], axis=2
+        ).astype(jnp.float32)                                 # (m, p)
+        ok = (bins[:, :, None] >= lo[None, :p_real, :]) & (
+            bins[:, :, None] <= hi[None, :p_real, :]
+        )
+        sel = jnp.all(ok, axis=1).astype(jnp.float32)         # (m, TL)
+        return (sel @ wv)[:m_real, 0]
+
+    kernel = functools.partial(_kernel, p_real=p_real)
+    b_pad = etab.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // _CELL_BLOCK, tl_pad // _LEAF_CHUNK),
+        in_specs=[
+            pl.BlockSpec((b_pad, _FEAT_PAD), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_FEAT_PAD, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_LEAF_CHUNK, _FEAT_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_LEAF_CHUNK, _FEAT_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _LEAF_CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * tl_pad * p_real + 2 * m_pad * tl_pad,
+            bytes_accessed=4 * (m_pad * _FEAT_PAD + 3 * tl_pad * _FEAT_PAD + m_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(etab.T, x_pad.T, lo.T, hi.T, wv.T)
+    return out[0, :m_real]
+
+
+def forest_predict_bins(
+    trees, x, weights, tables: LeafBinTables | None = None,
+    use_pallas: bool | None = None, interpret: bool = False,
+) -> jax.Array:
+    """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
+
+    ``weights`` may be traced (e.g. lr * active-tree mask); the bin-interval
+    tables are weight-independent, so pass precomputed ``tables`` when
+    predicting many blocks from one forest.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    m, p = x.shape
+    if tables is None:
+        tables = build_leaf_bins(trees, n_feat=p)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    w = jnp.asarray(weights, jnp.float32)
+    # weighted value of each leaf slot; padded slots (tree -1) get weight 0
+    wv = (
+        trees.value[tables.leaf_tree, tables.leaf_node]
+        * jnp.where(tables.leaf_tree >= 0, w[tables.leaf_tree], 0.0)
+    )[:, None].astype(jnp.float32)
+
+    m_pad = _round_up(max(m, 1), _CELL_BLOCK)
+    x_pad = jnp.pad(x, ((0, m_pad - m), (0, _FEAT_PAD - p)))
+    return _predict_impl(
+        jnp.asarray(tables.etab),
+        x_pad,
+        jnp.asarray(tables.lo),
+        jnp.asarray(tables.hi),
+        wv,
+        p_real=tables.n_feat,
+        m_real=m,
+        use_pallas=use_pallas,
+        interpret=interpret,
+    )

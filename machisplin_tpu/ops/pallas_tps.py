@@ -5,16 +5,23 @@ prediction (V73:726/753) with a fused kernel: cell coordinates are generated
 on the fly from the grid's affine transform (never materialised in HBM),
 squared distances come from explicit coordinate differences on the VPU
 (exact f32 — see _kernel's numerics note), phi(r) = 0.5 r^2 log r^2 runs on
-the VPU, and the phi @ c contraction is an f32 MXU matmul.  HBM traffic is
-exactly the output surface plus the (tiny) knot/coefficient tables.
+the VPU, and the phi-coefficient contraction is an f32 MXU matmul.  HBM
+traffic is exactly the output surface plus the (tiny) knot/coefficient
+tables.
 
-Layout discipline (Mosaic rejects shape casts inside kernels): the grid is
-processed as FLAT cell blocks of 1024 — row/col are recovered from the flat
-index with an integer div/mod — and the output is written as (cells, R),
-reshaped to (H, W, R) outside the kernel where it is free.  The cell basis
-matrix A = [x, y, 1, 0...] is built at (1024, 8) so the A @ B distance matmul
-is natively MXU-aligned.  Responses batch in the trailing matmul dimension,
-so multi-response models (shared knots) cost one pass.
+Layout discipline (Mosaic rejects shape casts inside kernels, and TPU
+T(8,128) tiling pads the trailing axis to 128 lanes):
+
+* the grid is processed as FLAT cell blocks — row/col are recovered from
+  the flat index with an integer div/mod — oriented with CELLS ON THE LANE
+  AXIS: distances/phi are (knot_chunk, block) and the contraction
+  c (R, chunk) @ phi (chunk, block) lands as (R, block);
+* each response writes its own (1, cells_pad) flat output, one (1, block)
+  lane tile per program — only the 8-sublane tile padding (8x) instead of
+  the 128x lane padding of a (cells, R) output, which for a
+  single-response model meant a 64M-cell panel "needing" 33 GB and 512 KB
+  of padded writes per program, throttling the kernel far below its VPU
+  log roofline.
 """
 from __future__ import annotations
 
@@ -31,7 +38,7 @@ __all__ = ["tps_grid_pallas"]
 
 _BLOCK = 1024
 # finer knot chunks cut zero-coefficient padding waste (813 knots pad to 896
-# rather than 1024); K=128 keeps the phi @ c dot MXU-shaped
+# rather than 1024); K=128 keeps the contraction MXU-shaped
 _KNOT_CHUNK = 128
 
 
@@ -39,63 +46,64 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(geo_ref, ktab_ref, c_ref, d_ref, out_ref, *, geom, n_chunks, ncols):
-    """One 1024-cell block: phi-matvec against all knot chunks.
+def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, geom, n_chunks, ncols):
+    """One cell block: phi-matvec against all knot chunks.
 
     geo:  (4, 1) SMEM  coordinate shift/scale [sx0, sx1, sy0, sy1]
-    ktab: (8, n_pad)   rows [kx, ky, 0...] scaled knot coordinates
-    c:    (n_pad, R)   radial coefficients (0 at padding)
-    d:    (8, R)       polynomial coefficients [x, y, 1, 0...] ordering
-    out:  (1024, R)    flat surface block
+    ktab: (n_pad, 8)   scaled knot coordinates, columns [kx, ky, 0...]
+    c:    (R, n_pad)   radial coefficients (0 at padding)
+    d:    (R, 8)       polynomial coefficients [x, y, 1, 0...] ordering
+    out:  R refs of (1, BLOCK) — one surface row block per response
 
     Numerics: r^2 comes from explicit coordinate differences on the VPU —
     NOT the |p|^2+|k|^2-2pk matmul expansion, which cancels catastrophically
     near r=0 and (worse) runs with bfloat16 inputs at TPU default matmul
     precision; with a near-interpolating spline's large oscillating c this
     produced the round-1 "correction made R^2 worse" regression.  The
-    phi @ c contraction is an f32 MXU matmul at HIGHEST precision; its cost
+    c @ phi contraction is an f32 MXU matmul at HIGHEST precision; its cost
     is dwarfed by the per-(cell, knot) log evaluation.
     """
     xmin, dx, ymax, dy = geom
     sx0, sx1, sy0, sy1 = geo_ref[0, 0], geo_ref[1, 0], geo_ref[2, 0], geo_ref[3, 0]
     i = pl.program_id(0)
-    flat = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
+    flat = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
     row = flat // ncols
     col = flat - row * ncols
     gx = xmin + (col.astype(jnp.float32) + 0.5) * dx
     gy = ymax - (row.astype(jnp.float32) + 0.5) * dy
-    px = (gx - sx0) / sx1                                  # (1024, 1)
+    px = (gx - sx0) / sx1                                  # (1, BLOCK)
     py = (gy - sy0) / sy1
     ones = jnp.ones_like(px)
     zeros = jnp.zeros_like(px)
-    # (1024, 8): [x, y, 1, 0, 0, 0, 0, 0] for the polynomial term
-    a = jnp.concatenate([px, py, ones, zeros, zeros, zeros, zeros, zeros], axis=1)
+    # (8, BLOCK): rows [x, y, 1, 0...] for the polynomial term
+    a = jnp.concatenate([px, py, ones, zeros, zeros, zeros, zeros, zeros], axis=0)
 
-    n_resp = out_ref.shape[1]
-    acc = jnp.zeros((_BLOCK, n_resp), jnp.float32)
+    n_resp = len(out_refs)
+    acc = jnp.zeros((n_resp, _BLOCK), jnp.float32)
 
     def chunk_body(k, acc):
-        kx = ktab_ref[0:1, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]       # (1, 512)
-        ky = ktab_ref[1:2, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]
-        ddx = px - kx                                                 # (1024, 512)
-        ddy = py - ky
+        kt = ktab_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]         # (chunk, 8)
+        ddx = kt[:, 0:1] - px                                         # (chunk, BLOCK)
+        ddy = kt[:, 1:2] - py
         r2 = ddx * ddx + ddy * ddy
         # r2 * log(max(r2, tiny)) is exact at r2=0 (0 * log(tiny) == 0),
         # so no select is needed
         phi = 0.5 * r2 * jnp.log(jnp.maximum(r2, jnp.finfo(jnp.float32).tiny))
-        cc = c_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]            # (512, R)
+        cc = c_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]            # (R, chunk)
         return acc + jnp.dot(
-            phi, cc,
+            cc, phi,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
     acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-    out_ref[:] = acc + jnp.dot(
-        a, d_ref[:],
+    res = acc + jnp.dot(
+        d_ref[:], a,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    for r in range(n_resp):
+        out_refs[r][:] = res[r : r + 1, :]
 
 
 @functools.lru_cache(maxsize=64)
@@ -107,7 +115,7 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
     shift/scale enter through SMEM so one compile serves every model."""
     n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
     n_cells = grid.nrows * grid.ncols
-    cells_pad = _round_up(n_cells, _BLOCK)
+    n_blocks = _round_up(n_cells, _BLOCK) // _BLOCK
 
     def run(knots, ccols, dcols, shift, scale):
         geo = jnp.stack([shift[0], scale[0], shift[1], scale[1]]).astype(
@@ -116,36 +124,44 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
         knots = knots.astype(jnp.float32)
         ccols = ccols.astype(jnp.float32)
         dcols = dcols.astype(jnp.float32)
-        kx = jnp.pad(knots[:, 0], (0, n_pad - n), constant_values=0.5)
-        ky = jnp.pad(knots[:, 1], (0, n_pad - n), constant_values=0.5)
-        ktab = jnp.pad(jnp.stack([kx, ky]), ((0, 8 - 2), (0, 0)))    # (8, n_pad)
-        cpad = jnp.pad(ccols, ((0, n_pad - n), (0, 0)))              # zero coef => no-op
-        # model.d is ordered [1, x, y]; the kernel basis a is [x, y, 1, 0...]
-        dperm = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)
-        dpad = jnp.pad(dperm, ((0, 8 - 3), (0, 0)))
+        ktab = jnp.pad(
+            knots, ((0, n_pad - n), (0, 8 - 2)), constant_values=0.5
+        )                                                            # (n_pad, 8)
+        ktab = ktab * jnp.asarray([1.0, 1.0] + [0.0] * 6, jnp.float32)[None, :]
+        ct = jnp.pad(ccols.T, ((0, 0), (0, n_pad - n)))              # (R, n_pad)
+        # model.d is ordered [1, x, y]; the kernel basis rows are [x, y, 1, 0...]
+        dperm = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)    # (3, R)
+        dt = jnp.pad(dperm.T, ((0, 0), (0, 8 - 3)))                  # (R, 8)
 
         geom = (grid.xmin, grid.dx, grid.ymax, grid.dy)
         kernel = functools.partial(
             _kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK, ncols=grid.ncols
         )
-        out = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
-            grid=(cells_pad // _BLOCK,),
+            grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_resp, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_resp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((_BLOCK, n_resp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((cells_pad, n_resp), jnp.float32),
+            out_specs=[
+                pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+                for _ in range(n_resp)
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n_blocks * _BLOCK), jnp.float32)
+                for _ in range(n_resp)
+            ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * cells_pad * n_pad * (8 + n_resp),
-                bytes_accessed=4 * cells_pad * n_resp,
-                transcendentals=cells_pad * n_pad,
+                flops=2 * n_blocks * _BLOCK * n_pad * n_resp,
+                bytes_accessed=4 * n_blocks * _BLOCK * n_resp,
+                transcendentals=n_blocks * _BLOCK * n_pad,
             ),
-        )(geo, ktab, cpad, dpad)
-        return out[:n_cells].reshape(grid.nrows, grid.ncols, n_resp)
+        )(geo, ktab, ct, dt)
+        flat = [o[0, :n_cells] for o in outs]
+        return jnp.stack(flat, axis=-1).reshape(grid.nrows, grid.ncols, n_resp)
 
     return jax.jit(run)
 

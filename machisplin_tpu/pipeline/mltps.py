@@ -41,6 +41,7 @@ from ..models import brt, gam, gbm_step, mars, nn, rf, svm
 from ..models.base import LETTER_TO_NAME
 from ..ops.feather import feather_blend
 from ..ops.tps import tps_fit, tps_predict_grid
+from ..utils.precision import highest_precision
 from .importance import breakdown_importance
 
 log = logging.getLogger("machisplin")
@@ -171,6 +172,16 @@ def _prepare_inputs(int_values, covar_ras: Raster):
     return rast_stack, covar_names, coords, x, responses
 
 
+def _forest_tables(trees, n_feat: int):
+    """Bin-interval leaf tables for the device forest predictor; None on CPU
+    (where raster tree prediction routes to the C++ host path instead)."""
+    if jax.default_backend() == "cpu":
+        return None
+    from ..ops.pallas_forest import build_leaf_bins
+
+    return build_leaf_bins(trees, n_feat=n_feat)
+
+
 def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     """Final-fit one algorithm on all rows; returns (predict_fn, var_imp).
 
@@ -199,13 +210,15 @@ def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     if letter == "r":
         state = rf.fit(key, x, y, **config.final_rf)
         imp = rf.importance(state, x, y, names)
-        fn = lambda q: rf.predict(state, q)
+        tabs = _forest_tables(state.trees, np.asarray(x).shape[1])
+        fn = lambda q: rf.predict(state, q, tables=tabs)
         fn.prefers_host = True
         return fn, imp
     if letter == "b":
         res = gbm_step.fit(key, x, y, **config.final_brt)
         imp = gbm_step.importance(res, names)
-        fn = lambda q: gbm_step.predict(res, q)
+        tabs = _forest_tables(res.final.trees, np.asarray(x).shape[1])
+        fn = lambda q: gbm_step.predict(res, q, tables=tabs)
         fn.prefers_host = True
         return fn, imp
     raise ValueError(letter)
@@ -358,6 +371,7 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
     return surfs
 
 
+@highest_precision
 def mltps(
     int_values,
     covar_ras: Raster,
@@ -389,6 +403,9 @@ def mltps(
 
         timer = PhaseTimer()
     config = config or MLTPSConfig()
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # rerun/second-response compiles hit the disk cache
     if key is None:
         key = jax.random.PRNGKey(0)
     rast_stack, covar_names, coords, x, responses = _prepare_inputs(int_values, covar_ras)

@@ -411,3 +411,38 @@ def test_make_bins_masked_matches_subset_quantiles(rng):
     got = np.asarray(trees.make_bins_masked(x, w, n_bins=16))
     want = np.asarray(trees.make_bins(np.asarray(x)[np.asarray(w) > 0], n_bins=16))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_bin_interval_forest_predict_matches_gather(rng):
+    """The bin-interval leaf predictor (ops/pallas_forest) must agree exactly
+    with serial traversal — jnp twin AND the Pallas kernel in interpret mode —
+    for both best-first (BRT) and level-wise (RF) trees."""
+    from machisplin_tpu.models.trees import forest_predict
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+
+    x, y = make_data(rng, n=200)
+    state = brt.fit(jax.random.PRNGKey(1), x, y, n_trees=40, n_splits=4, lr=0.1)
+    xq = jnp.asarray(np.asarray(make_data(rng, n=500)[0]))
+    w = state.tree_active * state.lr
+    a = np.asarray(forest_predict(state.trees, xq, state.n_splits, weights=w))
+    tabs = build_leaf_bins(state.trees, n_feat=xq.shape[1])
+    jnp_path = np.asarray(
+        forest_predict_bins(state.trees, xq, w, tables=tabs, use_pallas=False)
+    )
+    np.testing.assert_allclose(jnp_path, a, rtol=1e-5, atol=1e-6)
+    kernel_path = np.asarray(
+        forest_predict_bins(
+            state.trees, xq, w, tables=tabs, use_pallas=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(kernel_path, a, rtol=1e-5, atol=1e-6)
+
+    rf_state = rf.fit(jax.random.PRNGKey(2), x, y, ntree=25, tree_chunk=5)
+    a_rf = np.asarray(forest_predict(rf_state.trees, xq, rf_state.max_depth))
+    t = rf_state.trees.feat.shape[0]
+    rf_bins = np.asarray(
+        forest_predict_bins(
+            rf_state.trees, xq, jnp.full(t, 1.0 / t), use_pallas=False
+        )
+    )
+    np.testing.assert_allclose(rf_bins, a_rf, rtol=1e-5, atol=1e-6)
