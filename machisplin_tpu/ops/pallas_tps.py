@@ -46,10 +46,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, geom, n_chunks, ncols):
+def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, n_chunks, ncols):
     """One cell block: phi-matvec against all knot chunks.
 
-    geo:  (4, 1) SMEM  coordinate shift/scale [sx0, sx1, sy0, sy1]
+    geo:  (8, 1) SMEM  [sx0, sx1, sy0, sy1, xmin, dx, ymax, dy] — the
+          coordinate shift/scale AND the grid affine are runtime scalars,
+          so ONE compiled program serves every model and every panel of a
+          streamed grid (only ncols/shapes are baked in; per-panel
+          geometry as constants forced a fresh multi-minute remote
+          compile per panel)
     ktab: (n_pad, 8)   scaled knot coordinates, columns [kx, ky, 0...]
     c:    (R, n_pad)   radial coefficients (0 at padding)
     d:    (R, 8)       polynomial coefficients [x, y, 1, 0...] ordering
@@ -63,8 +68,8 @@ def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, geom, n_chunks, ncols):
     c @ phi contraction is an f32 MXU matmul at HIGHEST precision; its cost
     is dwarfed by the per-(cell, knot) log evaluation.
     """
-    xmin, dx, ymax, dy = geom
     sx0, sx1, sy0, sy1 = geo_ref[0, 0], geo_ref[1, 0], geo_ref[2, 0], geo_ref[3, 0]
+    xmin, dx, ymax, dy = geo_ref[4, 0], geo_ref[5, 0], geo_ref[6, 0], geo_ref[7, 0]
     i = pl.program_id(0)
     flat = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
     row = flat // ncols
@@ -107,20 +112,24 @@ def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, geom, n_chunks, ncols):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
-    """One jitted program per (grid geometry, knot count, response count):
+def _compiled_grid_eval(nrows: int, ncols: int, n: int, n_resp: int):
+    """One jitted program per (grid SHAPE, knot count, response count):
     padding, table construction, and the pallas_call all trace once.  Under
     the axon remote-compile tunnel every *eager* op costs a compile round
     trip, so the whole path must live in a single jit.  The coordinate
-    shift/scale enter through SMEM so one compile serves every model."""
+    shift/scale AND the grid affine enter through SMEM as runtime data, so
+    one compile serves every model and every same-shape panel/tile."""
     n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
-    n_cells = grid.nrows * grid.ncols
+    n_cells = nrows * ncols
     n_blocks = _round_up(n_cells, _BLOCK) // _BLOCK
 
-    def run(knots, ccols, dcols, shift, scale):
-        geo = jnp.stack([shift[0], scale[0], shift[1], scale[1]]).astype(
-            jnp.float32
-        )[:, None]
+    def run(knots, ccols, dcols, shift, scale, affine):
+        geo = jnp.concatenate(
+            [
+                jnp.stack([shift[0], scale[0], shift[1], scale[1]]),
+                affine,
+            ]
+        ).astype(jnp.float32)[:, None]
         knots = knots.astype(jnp.float32)
         ccols = ccols.astype(jnp.float32)
         dcols = dcols.astype(jnp.float32)
@@ -133,15 +142,14 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
         dperm = jnp.concatenate([dcols[1:3], dcols[0:1]], axis=0)    # (3, R)
         dt = jnp.pad(dperm.T, ((0, 0), (0, 8 - 3)))                  # (R, 8)
 
-        geom = (grid.xmin, grid.dx, grid.ymax, grid.dy)
         kernel = functools.partial(
-            _kernel, geom=geom, n_chunks=n_pad // _KNOT_CHUNK, ncols=grid.ncols
+            _kernel, n_chunks=n_pad // _KNOT_CHUNK, ncols=ncols
         )
         outs = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_resp, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_resp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -161,7 +169,7 @@ def _compiled_grid_eval(grid: GridSpec, n: int, n_resp: int):
             ),
         )(geo, ktab, ct, dt)
         flat = [o[0, :n_cells] for o in outs]
-        return jnp.stack(flat, axis=-1).reshape(grid.nrows, grid.ncols, n_resp)
+        return jnp.stack(flat, axis=-1).reshape(nrows, ncols, n_resp)
 
     return jax.jit(run)
 
@@ -179,8 +187,9 @@ def tps_grid_pallas(model, grid: GridSpec, block_rows: int = 256, dtype=None):
     ccols = c[:, None] if single else c
     dcols = model.d[:, None] if single else model.d
     n, n_resp = ccols.shape
-    fn = _compiled_grid_eval(grid, n, n_resp)
-    out = fn(model.knots, ccols, dcols, model.shift, model.scale)
+    fn = _compiled_grid_eval(grid.nrows, grid.ncols, n, n_resp)
+    affine = jnp.asarray([grid.xmin, grid.dx, grid.ymax, grid.dy], jnp.float32)
+    out = fn(model.knots, ccols, dcols, model.shift, model.scale, affine)
     if dtype is not None:
         out = out.astype(dtype)
     return out[..., 0] if single else out
