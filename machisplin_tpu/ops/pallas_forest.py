@@ -120,24 +120,31 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins)
 
 
-def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, *, p_real):
+def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *, p_real):
     """One (cell block, leaf chunk) tile: membership AND-product + matvec.
 
     Layout: cells ride the LANE axis throughout — bin indices are (1, mb),
     membership masks (tn, mb), and each program writes a (1, mb) output
     row, so the flat surface ships with zero tile-padding waste (a
     cells-on-sublanes layout would pad the 1-wide trailing axis to 128
-    lanes: 128x the surface in HBM).
+    lanes: 128x the surface in HBM).  Bin indices are computed once per
+    cell block into VMEM scratch (the leaf-chunk axis is innermost, so
+    scratch persists across its steps) rather than once per leaf chunk.
     """
     j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        for f in range(p_real):
+            bins_ref[f : f + 1, :] = jnp.sum(
+                (x_ref[f : f + 1, :] > etab_ref[:, f : f + 1]).astype(jnp.float32),
+                axis=0,
+                keepdims=True,
+            )
+
     sel = None
     for f in range(p_real):
-        xf = x_ref[f : f + 1, :]                              # (1, mb)
-        binf = jnp.sum(
-            (xf > etab_ref[:, f : f + 1]).astype(jnp.float32),
-            axis=0,
-            keepdims=True,
-        )                                                     # (1, mb)
+        binf = bins_ref[f : f + 1, :]                         # (1, mb)
         ok = (
             (binf >= lo_ref[:, f : f + 1]) & (binf <= hi_ref[:, f : f + 1])
         ).astype(jnp.float32)                                 # (tn, mb)
@@ -199,6 +206,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             (1, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_FEAT_PAD, _CELL_BLOCK), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * tl_pad * p_real + 2 * m_pad * tl_pad,
             bytes_accessed=4 * (m_pad * _FEAT_PAD + 3 * tl_pad * _FEAT_PAD + m_pad),
