@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import as_weight
-from .trees import Tree, bin_data, grow_bestfirst_tree, make_bins, tree_predict
+from .trees import Tree, bin_data, grow_bestfirst_tree, make_bins
 
 from ..utils.precision import highest_precision
 
@@ -65,7 +65,6 @@ def fit(
     """
     from .deviance import calc_deviance
     from .families import f0_init, gradient, leaf_adjust, response
-    from .trees import tree_assign
 
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -90,13 +89,18 @@ def fit(
         key_t, act = inp
         bag = (jax.random.uniform(key_t, (n,)) < bag_fraction).astype(x.dtype) * w
         z = gradient(y, f, family)
-        tree = grow_bestfirst_tree(xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf)
+        tree, cur = grow_bestfirst_tree(
+            xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf, return_assign=True
+        )
         if family != "gaussian":
-            cur = tree_assign(tree, x, n_splits)
             tree = tree._replace(
                 value=leaf_adjust(tree.value, cur, n_total, y, f, bag, family)
             )
-        upd = lr * tree_predict(tree, x, n_splits) * act
+        from .trees import assigned_predict
+
+        # training-row prediction from the grower's own node assignment:
+        # no tree_predict gather walk (TPU gathers serialise)
+        upd = lr * assigned_predict(tree.value, cur, n_total) * act
         f = f + upd
         u = response(f, family)
         train_dev = calc_deviance(y, u, weights=w, family=family)

@@ -50,8 +50,6 @@ from .trees import (
     bin_data,
     grow_bestfirst_tree,
     make_bins_masked,
-    tree_assign,
-    tree_predict,
 )
 
 from ..utils.precision import highest_precision
@@ -142,15 +140,17 @@ def _cv_deviance_curve(
             def per_fold(f_k, w_k, xb_f, edges_f, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
                 z = gradient(y, f_k, family)
-                tree = grow_bestfirst_tree(
-                    xb_f, edges_f, z, bag, n_splits=n_splits, min_leaf=min_leaf
+                tree, cur = grow_bestfirst_tree(
+                    xb_f, edges_f, z, bag,
+                    n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
                 )
                 if family != "gaussian":
-                    cur = tree_assign(tree, x, n_splits)
                     tree = tree._replace(
                         value=leaf_adjust(tree.value, cur, n_total, y, f_k, bag, family)
                     )
-                return f_k + lr * tree_predict(tree, x, n_splits)
+                from .trees import assigned_predict
+
+                return f_k + lr * assigned_predict(tree.value, cur, n_total)
 
             fold_keys = jax.random.split(key_t, n_folds)
             return jax.vmap(per_fold)(f, train_w, xb_k, edges_k, fold_keys), None
@@ -229,10 +229,15 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
         def tree_step(fm, key_t):
             def per_model(f_k, w_k, xb_k, edges_k, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
-                tree = grow_bestfirst_tree(
-                    xb_k, edges_k, y - f_k, bag, n_splits=n_splits, min_leaf=min_leaf
+                tree, cur = grow_bestfirst_tree(
+                    xb_k, edges_k, y - f_k, bag,
+                    n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
                 )
-                return f_k + lr * tree_predict(tree, x, n_splits)
+                # training-row prediction from the grower's own assignment —
+                # no tree_predict gather walk (see grow_bestfirst_tree doc)
+                from .trees import assigned_predict
+
+                return f_k + lr * assigned_predict(tree.value, cur, 2 * n_splits + 1)
 
             # single-level vmap over the flattened (outer x inner) axis —
             # nested vmaps of the tree grower have faulted the TPU runtime

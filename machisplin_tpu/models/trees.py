@@ -92,13 +92,17 @@ def _node_histograms(cur, n_nodes, bin1h, w, wy):
 
     cur:   (n,) node id per sample (may point outside [0, n_nodes) => ignored)
     bin1h: (n, p, n_bins) one-hot of the binned features
+
+    The w and w*y statistics ride ONE stacked matmul (2N output rows): the
+    split loop is launch-latency-bound on this runtime, so halving the
+    kernel count matters more than the flops.
     """
     node1h = (cur[:, None] == jnp.arange(n_nodes)[None, :]).astype(w.dtype)  # (n, N)
     n, p, nb = bin1h.shape
     flat = bin1h.reshape(n, p * nb)
-    hw = (node1h * w[:, None]).T @ flat          # (N, p*nb)
-    hwy = (node1h * wy[:, None]).T @ flat
-    return hw.reshape(n_nodes, p, nb), hwy.reshape(n_nodes, p, nb)
+    a = jnp.concatenate([node1h * w[:, None], node1h * wy[:, None]], axis=1)
+    h = a.T @ flat                               # (2N, p*nb)
+    return h[:n_nodes].reshape(n_nodes, p, nb), h[n_nodes:].reshape(n_nodes, p, nb)
 
 
 def _best_splits(hw, hwy, min_leaf, feat_mask=None):
@@ -108,8 +112,9 @@ def _best_splits(hw, hwy, min_leaf, feat_mask=None):
     sum_L(wy)^2/sum_L(w) + sum_R(wy)^2/sum_R(w) - tot(wy)^2/tot(w).
     """
     eps = 1e-12
-    cw = jnp.cumsum(hw, axis=2)
-    cwy = jnp.cumsum(hwy, axis=2)
+    # one stacked cumsum (launch-latency-bound loop; see _node_histograms)
+    c2 = jnp.cumsum(jnp.stack([hw, hwy]), axis=3)
+    cw, cwy = c2[0], c2[1]
     tw = cw[:, :, -1:]
     twy = cwy[:, :, -1:]
     lw, lwy = cw[:, :, :-1], cwy[:, :, :-1]      # split "bin <= b", b < nb-1
@@ -126,8 +131,22 @@ def _best_splits(hw, hwy, min_leaf, feat_mask=None):
     n_nodes, p, nbm1 = gain.shape
     flat = gain.reshape(n_nodes, p * nbm1)
     best = jnp.argmax(flat, axis=1)
-    best_gain = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    # max == flat[best]; jnp.max avoids a take_along_axis gather (TPU
+    # gathers serialise — they dominated the split-step latency)
+    best_gain = jnp.max(flat, axis=1)
     return best_gain, (best // nbm1).astype(jnp.int32), (best % nbm1).astype(jnp.int32)
+
+
+def _edges_lookup(edges, feat, thr_bin):
+    """edges[feat, thr_bin] without a gather (TPU gathers serialise): the
+    one-hot contraction copies values exactly at HIGHEST precision."""
+    p, nbm1 = edges.shape
+    fsel = (feat[:, None] == jnp.arange(p)[None, :]).astype(edges.dtype)
+    bsel = (
+        jnp.clip(thr_bin, 0, nbm1 - 1)[:, None] == jnp.arange(nbm1)[None, :]
+    ).astype(edges.dtype)
+    per_feat = jnp.matmul(bsel, edges.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(per_feat * fsel, axis=1)
 
 
 def _leaf_values(cur, n_total, w, wy):
@@ -182,18 +201,33 @@ def grow_level_tree(
             * (bfeat[:, None] == jnp.arange(p)[None, :]),
             axis=0,
         )
-        # route samples sitting in split nodes down to their children
+        # route samples sitting in split nodes down to their children —
+        # dense one-hot contractions against THIS level's split decisions
+        # (per-sample gathers serialise on TPU; see grow_bestfirst_tree)
         in_level = (local >= 0) & (local < n_nodes)
-        node_feat = feat[jnp.clip(cur, 0, n_total - 1)]
-        node_bin = thr_bin[jnp.clip(cur, 0, n_total - 1)]
-        node_split = internal[jnp.clip(cur, 0, n_total - 1)] > 0
-        sample_bin = jnp.take_along_axis(xb, node_feat[:, None], axis=1)[:, 0]
+        node1h = (
+            (local[:, None] == jnp.arange(n_nodes)[None, :]) & in_level[:, None]
+        ).astype(dtype)                                            # (n, n_nodes)
+        fsel1h = (bfeat[:, None] == jnp.arange(p)[None, :]).astype(dtype)  # (n_nodes, p)
+        feat_sel = jnp.matmul(
+            node1h, fsel1h, precision=jax.lax.Precision.HIGHEST
+        )                                                          # (n, p) 0/1
+        sample_bin = jnp.sum(xb * feat_sel, axis=1)
+        node_bin = jnp.matmul(
+            node1h, bbin.astype(dtype), precision=jax.lax.Precision.HIGHEST
+        )
+        node_split = (
+            jnp.matmul(
+                node1h, do_split.astype(dtype), precision=jax.lax.Precision.HIGHEST
+            )
+            > 0
+        )
         child = 2 * cur + 1 + (sample_bin > node_bin)
         cur = jnp.where(in_level & node_split, child, cur)
 
     value = _leaf_values(cur, n_total, w, wy)
     heap = jnp.arange(n_total, dtype=jnp.int32)
-    thr = edges[feat, jnp.clip(thr_bin, 0, nb - 2)]
+    thr = _edges_lookup(edges, feat, thr_bin)
     return Tree(
         feat=feat, thr=thr, internal=internal,
         left=2 * heap + 1, right=2 * heap + 2, value=value, var_gain=var_gain,
@@ -201,13 +235,20 @@ def grow_level_tree(
 
 
 def grow_bestfirst_tree(
-    xb, edges, y, w, *, n_splits: int, min_leaf: float = 10.0
-) -> Tree:
+    xb, edges, y, w, *, n_splits: int, min_leaf: float = 10.0,
+    return_assign: bool = False,
+):
     """gbm-style tree: exactly ``n_splits`` best-first splits (J+1 leaves).
 
     Each step re-scores every current leaf and splits the one with the
     largest SSE gain — gbm's interaction.depth semantics (the driver's
     tree.complexity, V73:247/493).
+
+    ``return_assign=True`` additionally returns every TRAINING row's node
+    id (tracked for free during growth): boosting drivers predict on the
+    training rows with one dense one-hot matvec instead of re-routing
+    through ``tree_predict``'s n_splits-iteration gather walk — TPU
+    gathers serialise, and that walk dominated the gbm.step CV wall.
     """
     n, p = xb.shape
     nb = int(edges.shape[1]) + 1
@@ -216,7 +257,15 @@ def grow_bestfirst_tree(
     bin1h = (xb[:, :, None] == jnp.arange(nb)[None, None, :]).astype(dtype)
     wy = w * y
 
+    iota_nodes = jnp.arange(n_total)
+    p_iota = jnp.arange(p)
+
     def step(carry, k):
+        # Every update is a dense masked `where` — no single-element
+        # scatters (`.at[q].set`) and no dynamic-index gathers (`gain[q]`,
+        # take_along_axis): those serialise on TPU and were measured at
+        # ~5.5 ms of fixed latency PER SPLIT regardless of tree size,
+        # dominating the whole gbm.step CV wall.
         feat, thr_bin, internal, left, right, cur, var_gain = carry
         hw, hwy = _node_histograms(cur, n_total, bin1h, w, wy)
         gain, bfeat, bbin = _best_splits(hw, hwy, min_leaf)
@@ -224,19 +273,24 @@ def grow_bestfirst_tree(
         # ids, hold no samples so their gain is -inf)
         gain = jnp.where(internal > 0, -jnp.inf, gain)
         q = jnp.argmax(gain)
-        ok = gain[q] > 1e-9
+        gq = jnp.max(gain)
+        ok = gq > 1e-9
+        qsel = iota_nodes == q
+        bfq = jnp.sum(jnp.where(qsel, bfeat, 0), dtype=jnp.int32)
+        bbq = jnp.sum(jnp.where(qsel, bbin, 0), dtype=jnp.int32)
         lid, rid = 2 * k + 1, 2 * k + 2
-        feat = feat.at[q].set(jnp.where(ok, bfeat[q], feat[q]))
-        thr_bin = thr_bin.at[q].set(jnp.where(ok, bbin[q], thr_bin[q]))
-        internal = internal.at[q].set(jnp.where(ok, 1.0, internal[q]))
-        left = left.at[q].set(jnp.where(ok, lid, left[q]))
-        right = right.at[q].set(jnp.where(ok, rid, right[q]))
-        var_gain = var_gain + jnp.where(ok, gain[q], 0.0) * (
-            bfeat[q] == jnp.arange(p)
-        ).astype(dtype)
-        sample_bin = jnp.take_along_axis(xb, bfeat[q][None, None].repeat(n, 0), axis=1)[:, 0]
+        upd = qsel & ok
+        feat = jnp.where(upd, bfq, feat)
+        thr_bin = jnp.where(upd, bbq, thr_bin)
+        internal = jnp.where(upd, 1.0, internal)
+        left = jnp.where(upd, lid, left)
+        right = jnp.where(upd, rid, right)
+        var_gain = var_gain + jnp.where(ok, gq, 0.0) * (bfq == p_iota).astype(dtype)
+        sample_bin = jnp.sum(
+            jnp.where(p_iota[None, :] == bfq, xb, 0), axis=1, dtype=jnp.int32
+        )
         go = ok & (cur == q)
-        cur = jnp.where(go, jnp.where(sample_bin <= bbin[q], lid, rid), cur)
+        cur = jnp.where(go, jnp.where(sample_bin <= bbq, lid, rid), cur)
         return (feat, thr_bin, internal, left, right, cur, var_gain), None
 
     init = (
@@ -252,11 +306,18 @@ def grow_bestfirst_tree(
         step, init, jnp.arange(n_splits, dtype=jnp.int32)
     )
     value = _leaf_values(cur, n_total, w, wy)
-    thr = edges[feat, jnp.clip(thr_bin, 0, nb - 2)]
-    return Tree(
+    thr = _edges_lookup(edges, feat, thr_bin)
+    tree = Tree(
         feat=feat, thr=thr, internal=internal, left=left, right=right,
         value=value, var_gain=var_gain,
     )
+    return (tree, cur) if return_assign else tree
+
+
+def assigned_predict(value, cur, n_total):
+    """Leaf-value lookup value[cur] as a dense one-hot matvec (no gather)."""
+    node1h = (cur[:, None] == jnp.arange(n_total)[None, :]).astype(value.dtype)
+    return jnp.matmul(node1h, value, precision=jax.lax.Precision.HIGHEST)
 
 
 def build_path_matrices(trees: Tree):

@@ -23,7 +23,10 @@ _ENABLED_DIR: str | None = None
 
 
 def enable_compile_cache(cache_dir: str | None = None,
-                         min_compile_secs: float = 0.5) -> str | None:
+                         min_compile_secs: float = 0.0) -> str | None:
+    # min_compile_secs=0: under the axon remote-compile tunnel even tiny
+    # eager-op programs cost a full HTTP round trip per fresh process, and
+    # a >0 threshold silently excludes exactly those from the cache
     """Point JAX's persistent compilation cache at a writable directory.
 
     Returns the directory in use, or None if disabled / unsupported.

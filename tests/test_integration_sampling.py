@@ -35,9 +35,12 @@ def test_sampling_mltps_end_to_end(tmp_path):
     # the TPS residual correction must push station-level fit high even though
     # the synthetic covariates only weakly explain real bio_1 (the reference's
     # bundled example reports R2 > 0.99 with its real covariates)
-    assert r.summary["r2 ensemble:"] > 0.3
-    r2_best = max(r.summary["r2 ensemble:"], r.summary.get("r2 final:", -np.inf))
-    assert r2_best > 0.9
+    assert r.summary["r2 ensemble:"] > 0.5
+    # the correction must IMPROVE the fit (round-1 regression guard: a
+    # precision bug once made it harmful and silently discarded) and push
+    # station R^2 near the reference's >0.99 claim
+    assert r.summary["r2 final:"] > r.summary["r2 ensemble:"]
+    assert r.summary["r2 final:"] > 0.97
     assert r.residuals.shape == (813, 3)
     # extraction of the final surface at the stations is consistent with the
     # recorded residuals
