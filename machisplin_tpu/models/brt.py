@@ -34,6 +34,10 @@ class BRTState(NamedTuple):
     tree_active: jax.Array  # (n_trees,) 1.0 for trees inside best.trees
     train_deviance: jax.Array  # (n_trees,) in-bag gaussian deviance path
     holdout_deviance: jax.Array  # (n_trees,) deviance on sample_weight==0 rows
+    train_fit: jax.Array  # (n,) link-scale boosted fit at the TRAINING rows
+    #                       (the scan's final carry == predict(state, x) with
+    #                       the active-tree mask applied; free, and it spares
+    #                       CV-statistics consumers a forest routing pass)
 
 
 @highest_precision
@@ -109,11 +113,12 @@ def fit(
 
     keys = jax.random.split(key, n_trees)
     f_init = jnp.full((n,), f0)
-    _, (trees, train_dev, hold_dev) = jax.lax.scan(step, f_init, (keys, active))
+    f_fin, (trees, train_dev, hold_dev) = jax.lax.scan(step, f_init, (keys, active))
     return BRTState(
         trees=trees, edges=edges, f0=f0, lr=jnp.asarray(lr, x.dtype),
         n_splits=n_splits, tree_active=active,
         train_deviance=train_dev, holdout_deviance=hold_dev,
+        train_fit=f_fin,
     )
 
 

@@ -213,15 +213,20 @@ def _cv_deviance_curve(
 
 
 @functools.lru_cache(maxsize=32)
-def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
-    """One jitted growth cycle for the batched CV curve: advances every
-    (outer, inner) boosting chain by step_size trees and returns the holdout
-    deviances.  Cached so repeated chunks/calls reuse the compiled program;
-    run as a bounded device program because a whole-curve while_loop trips
-    the remote runtime's program watchdog at this batch width."""
+def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
+                   n_cycles=1):
+    """``n_cycles`` jitted growth cycles for the batched CV curve: advances
+    every (outer, inner) boosting chain by n_cycles x step_size trees and
+    returns the per-cycle holdout deviances (n_cycles, F, K).  Cached so
+    repeated chunks/calls reuse the compiled program; run as a bounded
+    device program because a whole-curve while_loop trips the remote
+    runtime's program watchdog at this batch width.  Batching a few cycles
+    per dispatch amortises the host round-trip; the key chain inside
+    reproduces the host loop's split(key_j) sequence exactly, so results
+    are bit-identical to single-cycle dispatching."""
 
     @jax.jit
-    def cycle(key_c, fmat, xb, edges, x, y, train_w, test_w, test_sum):
+    def cycle(key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum):
         # xb (F, K, n, p) / edges (F, K, p, nb-1): every (outer, inner) chain
         # bins on ITS OWN training subset's quantiles (per-fold gbm calls)
         f_outer, n_folds, n = fmat.shape
@@ -251,10 +256,18 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size):
             )
             return flat.reshape(f_outer, n_folds, n), None
 
-        keys = jax.random.split(key_c, step_size)
-        fmat, _ = jax.lax.scan(tree_step, fmat, keys)
-        dev = jnp.sum(test_w * (y[None, None, :] - fmat) ** 2, axis=2) / test_sum
-        return fmat, dev
+        def one_cycle(carry, _):
+            fm, kj = carry
+            kj, key_c = jax.random.split(kj)
+            keys = jax.random.split(key_c, step_size)
+            fm, _ = jax.lax.scan(tree_step, fm, keys)
+            dev = jnp.sum(test_w * (y[None, None, :] - fm) ** 2, axis=2) / test_sum
+            return (fm, kj), dev
+
+        (fmat, key_j), devs = jax.lax.scan(
+            one_cycle, (fmat, key_j), None, length=n_cycles
+        )
+        return fmat, key_j, devs
 
     return cycle
 
@@ -301,9 +314,15 @@ def _cv_deviance_curve_multi(
     max_cp = max_trees // step_size
     win = min(10, max_cp)
 
+    # a few cycles per device dispatch amortise the tunnel round trip; the
+    # stop rule is evaluated retrospectively at every checkpoint inside the
+    # batch, so stopping points are identical (any over-grown cycles merely
+    # waste a little compute — downstream slices each fold's curve at its
+    # exact stopping checkpoint)
+    n_cyc = 5
     cycle_fn = _cycle_program(
         n_splits=n_splits, lr=lr, bag_fraction=bag_fraction,
-        min_leaf=min_leaf, step_size=step_size,
+        min_leaf=min_leaf, step_size=step_size, n_cycles=n_cyc,
     )
     fmat = jnp.broadcast_to(f0[:, :, None], (f_outer, n_folds, n)).astype(x.dtype)
     dev = np.full((max_cp, f_outer, n_folds), np.inf, np.float64)
@@ -311,19 +330,22 @@ def _cv_deviance_curve_multi(
     key_j = kboost
     j = 0
     while j < max_cp and np.any(stopped > max_cp):
-        key_j, key_c = jax.random.split(key_j)
-        fmat, dev_j = cycle_fn(key_c, fmat, xb, edges, x, y, train_w, test_w, test_sum)
-        dev[j] = np.asarray(dev_j)
-        mean_curve = dev[: j + 1].mean(axis=2)               # (j+1, F)
-        if j + 1 >= 20:
-            # reference windows (V73:1957-1961, 1-indexed): test1 =
-            # mean(cv[(j-9):j]) — 10 values; test2 = mean(cv[(j-19):(j-9)]) —
-            # 11 values OVERLAPPING test1 at checkpoint j-9
-            test1 = mean_curve[j + 1 - win : j + 1].mean(axis=0)
-            test2 = mean_curve[j + 1 - 2 * win : j + 2 - win].mean(axis=0)
-            fire = ((test2 - test1) <= tolerance) & (stopped > max_cp)
-            stopped[fire] = j + 1
-        j += 1
+        fmat, key_j, dev_c = cycle_fn(
+            key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum
+        )
+        c_here = min(n_cyc, max_cp - j)
+        dev[j : j + c_here] = np.asarray(dev_c)[:c_here]
+        for jj in range(j, j + c_here):
+            mean_curve = dev[: jj + 1].mean(axis=2)          # (jj+1, F)
+            if jj + 1 >= 20:
+                # reference windows (V73:1957-1961, 1-indexed): test1 =
+                # mean(cv[(j-9):j]) — 10 values; test2 = mean(cv[(j-19):(j-9)])
+                # — 11 values OVERLAPPING test1 at checkpoint j-9
+                test1 = mean_curve[jj + 1 - win : jj + 1].mean(axis=0)
+                test2 = mean_curve[jj + 1 - 2 * win : jj + 2 - win].mean(axis=0)
+                fire = ((test2 - test1) <= tolerance) & (stopped > max_cp)
+                stopped[fire] = jj + 1
+        j += c_here
     stopped = np.minimum(stopped, j)
     return jnp.asarray(stopped), jnp.asarray(dev, x.dtype), edges, xb
 
@@ -344,7 +366,7 @@ def fit_outer_batched(
     tolerance: float | None = None,
     min_leaf: float = 10.0,
     n_bins: int = 64,
-    outer_chunk: int = 5,
+    outer_chunk: int = 10,
 ):
     """gbm.step for ALL outer CV folds at once (the run_cv fast path;
     gaussian only — the only family mltps's CV uses, V73:247).
@@ -353,8 +375,9 @@ def fit_outer_batched(
     (predictions (F, n) from each fold's best.trees refit, best_trees (F,)).
     Selection semantics per fold are identical to ``fit``; only the
     execution is batched.  Outer folds run in chunks of ``outer_chunk``
-    (chunk x n_folds boosting chains per program — one giant program for
-    all 100 chains overwhelms the TPU runtime)."""
+    (chunk x n_folds boosting chains per program; all 100 chains fit in one
+    program now that the growth cycle is gather-free — the old gather-heavy
+    version overwhelmed the TPU runtime at this width)."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     outer_train_w = jnp.asarray(outer_train_w, x.dtype)
@@ -414,20 +437,9 @@ def fit_outer_batched(
         jax.random.split(kfinal, f_outer), outer_train_w, jnp.asarray(best_trees),
         edges_f, xb_f,
     )
-    # n_splits is static; predict through forest_predict directly so the
-    # routing depth stays a Python int under vmap
-    from .trees import forest_predict
-
-    predict_all = jax.jit(
-        jax.vmap(
-            lambda trees, f0, act_lr: f0
-            + forest_predict(trees, x, tree_complexity, weights=act_lr)
-        )
-    )
-    preds = predict_all(
-        finals.trees, finals.f0, finals.tree_active * finals.lr[:, None]
-    )
-    return np.asarray(preds), best_trees
+    # training-row predictions come straight from each final fit's scan
+    # carry (active-tree mask already applied) — no forest routing pass
+    return np.asarray(finals.train_fit), best_trees
 
 
 @highest_precision
@@ -543,7 +555,7 @@ def fit(
     )
 
     # --- self statistics of the final model (V73:2115-2152, 2190-2192)
-    fitted_link = np.asarray(brt.predict(final, x))
+    fitted_link = np.asarray(final.train_fit)  # scan carry == predict at x
     fitted = np.asarray(response(jnp.asarray(fitted_link), family))
     resid_deviance = float(
         calc_deviance(y, jnp.asarray(fitted), weights=w, family=family, calc_mean=False)
