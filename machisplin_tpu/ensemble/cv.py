@@ -162,14 +162,12 @@ def run_cv(
             rows.append(fit_r(jax.random.fold_in(kr, i), flat_y[i], flat_w[i]))
         preds["r"] = jnp.stack(rows)
     if "b" in algorithms:
-        rows = []
-        for r in range(n_resp):
-            # all outer folds' gbm.step runs batched per response
-            preds_b, _ = gbm_step.fit_outer_batched(
-                jax.random.fold_in(kb, r), x, ys[:, r], train_w[r], **config.brt
-            )
-            rows.append(jnp.asarray(preds_b))
-        preds["b"] = jnp.concatenate(rows, axis=0)
+        # ALL (response, outer-fold) gbm.step runs batched into one call:
+        # each pair is just another boosting chain with its own y column
+        preds_b, _ = gbm_step.fit_outer_batched(
+            kb, x, flat_y, flat_w, **config.brt
+        )
+        preds["b"] = jnp.asarray(preds_b)
 
     # fold-major concatenation of test residuals (V73:255-319), per response
     test_np = np.asarray(test_w) > 0                         # (R, K, n)

@@ -228,14 +228,16 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
     @jax.jit
     def cycle(key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum):
         # xb (F, K, n, p) / edges (F, K, p, nb-1): every (outer, inner) chain
-        # bins on ITS OWN training subset's quantiles (per-fold gbm calls)
+        # bins on ITS OWN training subset's quantiles (per-fold gbm calls).
+        # y is (F, n): outer chains may carry DIFFERENT responses, so one
+        # program serves every (response, outer-fold) pair at once.
         f_outer, n_folds, n = fmat.shape
 
         def tree_step(fm, key_t):
-            def per_model(f_k, w_k, xb_k, edges_k, key_k):
+            def per_model(f_k, y_k, w_k, xb_k, edges_k, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
                 tree, cur = grow_bestfirst_tree(
-                    xb_k, edges_k, y - f_k, bag,
+                    xb_k, edges_k, y_k - f_k, bag,
                     n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
                 )
                 # training-row prediction from the grower's own assignment —
@@ -247,8 +249,10 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
             # single-level vmap over the flattened (outer x inner) axis —
             # nested vmaps of the tree grower have faulted the TPU runtime
             keys = jax.random.split(key_t, f_outer * n_folds)
+            y_flat = jnp.broadcast_to(y[:, None, :], (f_outer, n_folds, n))
             flat = jax.vmap(per_model)(
                 fm.reshape(f_outer * n_folds, n),
+                y_flat.reshape(f_outer * n_folds, n),
                 train_w.reshape(f_outer * n_folds, n),
                 xb.reshape((f_outer * n_folds,) + xb.shape[2:]),
                 edges.reshape((f_outer * n_folds,) + edges.shape[2:]),
@@ -261,7 +265,7 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
             kj, key_c = jax.random.split(kj)
             keys = jax.random.split(key_c, step_size)
             fm, _ = jax.lax.scan(tree_step, fm, keys)
-            dev = jnp.sum(test_w * (y[None, None, :] - fm) ** 2, axis=2) / test_sum
+            dev = jnp.sum(test_w * (y[:, None, :] - fm) ** 2, axis=2) / test_sum
             return (fm, kj), dev
 
         (fmat, key_j), devs = jax.lax.scan(
@@ -278,7 +282,9 @@ def _cv_deviance_curve_multi(
 ):
     """All OUTER folds' gbm.step CV curves, batched.
 
-    w_outer: (F, n) training masks (one per outer CV fold).  Every outer
+    w_outer: (F, n) training masks (one per outer CV fold).  ``y`` is (n,)
+    shared, or (F, n) with a response PER OUTER CHAIN — so multiple response
+    variables' gbm.step runs batch into the same programs.  Every outer
     fold's inner-fold models advance in lockstep — F x K boosting chains per
     tree step — in bounded jitted cycle programs with the checkpoint/stop
     bookkeeping on the host; each outer fold freezes at its own stopping
@@ -286,6 +292,9 @@ def _cv_deviance_curve_multi(
     (stopped_at (F,), dev (max_cp, F, K), per-chain edges, per-chain xb)."""
     n, p = x.shape
     f_outer = w_outer.shape[0]
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = jnp.broadcast_to(y[None, :], (f_outer, n))
 
     kfold, kboost = jax.random.split(key)
 
@@ -309,7 +318,7 @@ def _cv_deviance_curve_multi(
     xb = jax.vmap(jax.vmap(lambda e: bin_data(x, e)))(edges)  # (F, K, n, p)
     test_sum = jnp.maximum(jnp.sum(test_w, axis=2), 1.0)     # (F, K)
     train_sum = jnp.maximum(jnp.sum(train_w, axis=2), 1.0)
-    f0 = jnp.sum(train_w * y[None, None, :], axis=2) / train_sum
+    f0 = jnp.sum(train_w * y[:, None, :], axis=2) / train_sum
 
     max_cp = max_trees // step_size
     win = min(10, max_cp)
@@ -366,37 +375,42 @@ def fit_outer_batched(
     tolerance: float | None = None,
     min_leaf: float = 10.0,
     n_bins: int = 64,
-    outer_chunk: int = 10,
+    outer_chunk: int = 20,
 ):
     """gbm.step for ALL outer CV folds at once (the run_cv fast path;
     gaussian only — the only family mltps's CV uses, V73:247).
 
-    outer_train_w: (F, n) per-outer-fold training masks.  Returns
-    (predictions (F, n) from each fold's best.trees refit, best_trees (F,)).
-    Selection semantics per fold are identical to ``fit``; only the
-    execution is batched.  Outer folds run in chunks of ``outer_chunk``
-    (chunk x n_folds boosting chains per program; all 100 chains fit in one
-    program now that the growth cycle is gather-free — the old gather-heavy
-    version overwhelmed the TPU runtime at this width)."""
+    outer_train_w: (F, n) per-outer-fold training masks; ``y`` is (n,)
+    shared or (F, n) per chain — so SEVERAL RESPONSE VARIABLES' gbm.step
+    runs batch into the same device programs (each (response, outer-fold)
+    pair is just another chain).  Returns (predictions (F, n) from each
+    fold's best.trees refit, best_trees (F,)).  Selection semantics per
+    fold are identical to ``fit``; only the execution is batched.  Outer
+    chains run in chunks of ``outer_chunk`` (chunk x n_folds boosting
+    chains per program; all 100 chains fit in one program now that the
+    growth cycle is gather-free — the old gather-heavy version overwhelmed
+    the TPU runtime at this width)."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     outer_train_w = jnp.asarray(outer_train_w, x.dtype)
     f_outer = outer_train_w.shape[0]
+    if y.ndim == 1:
+        y = jnp.broadcast_to(y[None, :], (f_outer, y.shape[0]))
     if tolerance is None:
         # auto tolerance per outer fold: 0.001 x that fold's total mean
         # deviance, exactly as each gbm.step run computes it (V73 "auto")
         wsum = np.maximum(np.asarray(jnp.sum(outer_train_w, axis=1)), 1.0)
-        ybar = np.asarray(jnp.sum(outer_train_w * y[None, :], axis=1)) / wsum
+        ybar = np.asarray(jnp.sum(outer_train_w * y, axis=1)) / wsum
         tol_f = np.asarray(
-            jnp.sum(outer_train_w * (y[None, :] - jnp.asarray(ybar)[:, None]) ** 2, axis=1)
+            jnp.sum(outer_train_w * (y - jnp.asarray(ybar)[:, None]) ** 2, axis=1)
         ) / wsum
         tolerance = 0.001 * tol_f
 
     kcv, kfinal = jax.random.split(jax.random.fold_in(key, 11))
     # not jitted as a whole: the cycle loop runs on the host (bounded device
     # programs); each growth cycle is jitted inside
-    curve_fn = lambda k, w, tol: _cv_deviance_curve_multi(
-        k, x, y, w,
+    curve_fn = lambda k, yc, w, tol: _cv_deviance_curve_multi(
+        k, x, yc, w,
         n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
         bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
         max_trees=max_trees, tolerance=tol, n_bins=n_bins,
@@ -405,13 +419,15 @@ def fit_outer_batched(
     stopped_parts, cv_parts = [], []
     for s in range(0, f_outer, chunk):
         w_c = outer_train_w[s : s + chunk]
+        y_c = y[s : s + chunk]
         if w_c.shape[0] < chunk:  # pad to the compiled chunk width
             pad = chunk - w_c.shape[0]
             w_c = jnp.concatenate([w_c, w_c[:pad]], axis=0)
+            y_c = jnp.concatenate([y_c, y_c[:pad]], axis=0)
         tol_c = tolerance[s : s + chunk] if isinstance(tolerance, np.ndarray) else tolerance
         if isinstance(tol_c, np.ndarray) and tol_c.shape[0] < chunk:
             tol_c = np.concatenate([tol_c, tol_c[: chunk - tol_c.shape[0]]])
-        stopped_c, dev_c, _, _ = curve_fn(jax.random.fold_in(kcv, s), w_c, tol_c)
+        stopped_c, dev_c, _, _ = curve_fn(jax.random.fold_in(kcv, s), y_c, w_c, tol_c)
         stopped_parts.append(np.asarray(stopped_c))
         cv_parts.append(np.asarray(jnp.mean(dev_c, axis=2)))
     stopped = np.concatenate(stopped_parts)[:f_outer]
@@ -426,16 +442,16 @@ def fit_outer_batched(
     edges_f = jax.vmap(lambda wf: make_bins_masked(x, wf, n_bins))(outer_train_w)
     xb_f = jax.vmap(lambda e: bin_data(x, e))(edges_f)
     fit_one = jax.jit(
-        lambda k, w, nt, e, xbk: brt.fit(
-            k, x, y, sample_weight=w,
+        lambda k, yf, w, nt, e, xbk: brt.fit(
+            k, x, yf, sample_weight=w,
             n_trees=budget, n_splits=tree_complexity, lr=learning_rate,
             bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
             n_trees_active=nt, edges=e, xb=xbk,
         )
     )
     finals = jax.vmap(fit_one)(
-        jax.random.split(kfinal, f_outer), outer_train_w, jnp.asarray(best_trees),
-        edges_f, xb_f,
+        jax.random.split(kfinal, f_outer), y, outer_train_w,
+        jnp.asarray(best_trees), edges_f, xb_f,
     )
     # training-row predictions come straight from each final fit's scan
     # carry (active-tree mask already applied) — no forest routing pass
