@@ -127,9 +127,10 @@ def main():
     dt_k5, _ = _time_best(lambda: run_kernel_k(5))
     dt_k = max((dt_k5 - dt_k1) / 4, 1e-9)
     kernel_mcells = grid.ncell / dt_k / 1e6
-    from machisplin_tpu.ops.pallas_tps import _KNOT_CHUNK
+    from machisplin_tpu.ops.pallas_tps import _chunk_for
 
-    n_pad = -(-coords.shape[0] // _KNOT_CHUNK) * _KNOT_CHUNK  # padded knots
+    _ck = _chunk_for(coords.shape[0])
+    n_pad = -(-coords.shape[0] // _ck) * _ck  # padded knots
     transc_per_s = grid.ncell * n_pad / dt_k
 
     # ---- measured VPU log peak: the roofline the kernel is bound by ----

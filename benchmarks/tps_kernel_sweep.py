@@ -1,13 +1,14 @@
-"""Sweep the TPS grid kernel's tile parameters on the real chip.
+"""Sweep the production TPS grid kernel's tile parameters on the real chip.
 
-Exposes what bench.py's single configuration can't: how kernel throughput
-scales with knot count, cell-block size, knot-chunk size, response count,
-and the phi@c contraction style (MXU dot vs VPU multiply-reduce for R=1).
+Drives ops/pallas_tps.tps_grid_pallas itself (module constants _BLOCK /
+_KNOT_CHUNK are overridden per configuration and the program cache cleared),
+so results reflect the shipping kernel.  Slope-timed (k=1 vs k=3 back-to-back
+applications, one readback) to cancel the axon tunnel's fixed latency.
+
 Run (axon TPU env):  python benchmarks/tps_kernel_sweep.py
 """
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -20,105 +21,57 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    from machisplin_tpu.grid import GridSpec
+    from machisplin_tpu.ops import pallas_tps
+    from machisplin_tpu.ops.tps import tps_fit
     from machisplin_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
     print("backend:", jax.default_backend(), flush=True)
 
-    def make_kernel(block, chunk, n_pad, n_resp, ncols, vpu_contract):
-        def kern(geo_ref, ktab_ref, c_ref, d_ref, out_ref):
-            xmin, dx, ymax, dy = 0.0, 1e-3, 1.0, 1e-3
-            sx0, sx1 = geo_ref[0, 0], geo_ref[1, 0]
-            sy0, sy1 = geo_ref[2, 0], geo_ref[3, 0]
-            i = pl.program_id(0)
-            flat = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-            row = flat // ncols
-            col = flat - row * ncols
-            gx = xmin + (col.astype(jnp.float32) + 0.5) * dx
-            gy = ymax - (row.astype(jnp.float32) + 0.5) * dy
-            px = (gx - sx0) / sx1
-            py = (gy - sy0) / sy1
-            ones = jnp.ones_like(px)
-            zeros = jnp.zeros_like(px)
-            a = jnp.concatenate([px, py, ones] + [zeros] * 5, axis=1)
-            acc = jnp.zeros((block, n_resp), jnp.float32)
-
-            def body(k, acc):
-                kx = ktab_ref[0:1, pl.ds(k * chunk, chunk)]
-                ky = ktab_ref[1:2, pl.ds(k * chunk, chunk)]
-                ddx = px - kx
-                ddy = py - ky
-                r2 = ddx * ddx + ddy * ddy
-                phi = 0.5 * r2 * jnp.log(jnp.maximum(r2, 1e-37))
-                cc = c_ref[pl.ds(k * chunk, chunk), :]
-                if vpu_contract:
-                    s = jnp.sum(phi * cc[:, 0][None, :], axis=1, keepdims=True)
-                    return acc + s
-                return acc + jnp.dot(
-                    phi, cc, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-
-            acc = jax.lax.fori_loop(0, n_pad // chunk, body, acc)
-            out_ref[:] = acc + jnp.dot(
-                a, d_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        return kern
-
-    @functools.partial(jax.jit, static_argnames=("block", "chunk", "n_pad", "n_resp", "cells", "vpu"))
-    def run(ktab, c, d, *, block, chunk, n_pad, n_resp, cells, vpu):
-        ncols = 3264
-        geo = jnp.asarray([[0.0], [1.0], [0.0], [1.0]], jnp.float32)
-        kern = make_kernel(block, chunk, n_pad, n_resp, ncols, vpu)
-        out = pl.pallas_call(
-            kern,
-            grid=(cells // block,),
-            in_specs=[
-                pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, n_resp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((block, n_resp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((cells, n_resp), jnp.float32),
-        )(geo, ktab, c, d)
-        return jnp.nansum(out)
-
-    cells = 4 * 1024 * 1024
+    grid = GridSpec(nrows=2048, ncols=2048, xmin=0.0, ymax=1.0,
+                    dx=1 / 2048, dy=1 / 2048)
     rng = np.random.default_rng(0)
-    for n_pad in (896, 2048):
-        ktab = jnp.asarray(np.pad(rng.uniform(0, 1, (2, n_pad)), ((0, 6), (0, 0))), jnp.float32)
-        for n_resp in (1, 2):
-            c = jnp.asarray(rng.standard_normal((n_pad, n_resp)) * 10, jnp.float32)
-            d = jnp.asarray(rng.standard_normal((8, n_resp)), jnp.float32)
-            for block in (1024, 2048):
-                for chunk in (128, 256, 512):
-                    if chunk > n_pad or n_pad % chunk:
-                        continue
-                    for vpu in ((False, True) if n_resp == 1 else (False,)):
-                        kw = dict(block=block, chunk=chunk, n_pad=n_pad,
-                                  n_resp=n_resp, cells=cells, vpu=vpu)
-                        try:
-                            float(run(ktab, c, d, **kw))  # compile
-                            t0 = time.time(); float(run(ktab, c, d, **kw)); dt1 = time.time() - t0
-                            t0 = time.time()
-                            s = None
-                            for _ in range(5):
-                                t = run(ktab, c, d, **kw)
-                                s = t if s is None else s + t
-                            float(s)
-                            dt5 = time.time() - t0
-                            dt = max((dt5 - dt1) / 4, 1e-9)
-                            print(f"n_pad {n_pad:5d} R {n_resp} block {block:5d} chunk {chunk:4d} "
-                                  f"vpu {int(vpu)}: {cells/dt/1e6:8.1f} Mcells/s "
-                                  f"({cells*n_pad/dt:.3g} logs/s)", flush=True)
-                        except Exception as e:
-                            print(f"n_pad {n_pad} R {n_resp} block {block} chunk {chunk} vpu {int(vpu)}: "
-                                  f"FAIL {type(e).__name__}", flush=True)
+
+    for n_knots, n_resp in ((813, 1), (813, 2), (2048, 1)):
+        pts = rng.uniform(0, 1, (n_knots, 2)).astype(np.float32)
+        ys = np.stack(
+            [np.sin((3 + j) * pts[:, 0]) * np.cos(2 * pts[:, 1]) for j in range(n_resp)],
+            axis=1,
+        ).astype(np.float32)
+        y = ys[:, 0] if n_resp == 1 else ys
+        model = tps_fit(jnp.asarray(pts), jnp.asarray(y), lam=1e-5)
+        for block in (1024, 2048):
+            for chunk in (128, 256):
+                pallas_tps._BLOCK = block
+                pallas_tps._KNOT_CHUNK = chunk
+                pallas_tps._compiled_grid_eval.cache_clear()
+                try:
+                    def run_k(k):
+                        s = None
+                        for _ in range(k):
+                            t = jnp.nansum(pallas_tps.tps_grid_pallas(model, grid))
+                            s = t if s is None else s + t
+                        return float(s)
+
+                    run_k(1)  # compile
+                    t0 = time.time(); run_k(1); dt1 = time.time() - t0
+                    t0 = time.time(); run_k(3); dt3 = time.time() - t0
+                    dt = max((dt3 - dt1) / 2, 1e-9)
+                    n_pad = -(-n_knots // chunk) * chunk
+                    print(
+                        f"knots {n_knots:5d} R {n_resp} block {block:5d} chunk {chunk:4d}: "
+                        f"{grid.ncell/dt/1e6:8.1f} Mcells/s ({grid.ncell*n_pad/dt:.3g} logs/s)",
+                        flush=True,
+                    )
+                except Exception as e:
+                    print(f"knots {n_knots} R {n_resp} block {block} chunk {chunk}: "
+                          f"FAIL {type(e).__name__}: {e}", flush=True)
+    # restore defaults for any later imports in this process
+    pallas_tps._BLOCK = 1024
+    pallas_tps._KNOT_CHUNK = 128
+    pallas_tps._compiled_grid_eval.cache_clear()
 
 
 if __name__ == "__main__":

@@ -36,17 +36,24 @@ from ..grid import GridSpec
 
 __all__ = ["tps_grid_pallas"]
 
-_BLOCK = 1024
-# finer knot chunks cut zero-coefficient padding waste (813 knots pad to 896
-# rather than 1024); K=128 keeps the contraction MXU-shaped
+_BLOCK = 2048  # swept on-chip: 2048-cell blocks beat 1024 by ~25-50%
+# knot-chunk width: fine chunks (128) cut zero-coefficient padding waste for
+# small knot sets (813 pads to 896, not 1024); wide chunks (256) win once the
+# knot count amortises the padding (swept: 2048 knots run ~20% faster at 256)
 _KNOT_CHUNK = 128
+_KNOT_CHUNK_LARGE = 256
+_LARGE_KNOTS = 1536
+
+
+def _chunk_for(n: int) -> int:
+    return _KNOT_CHUNK_LARGE if n >= _LARGE_KNOTS else _KNOT_CHUNK
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, n_chunks, ncols):
+def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, n_chunks, ncols, chunk):
     """One cell block: phi-matvec against all knot chunks.
 
     geo:  (8, 1) SMEM  [sx0, sx1, sy0, sy1, xmin, dx, ymax, dy] — the
@@ -87,14 +94,14 @@ def _kernel(geo_ref, ktab_ref, c_ref, d_ref, *out_refs, n_chunks, ncols):
     acc = jnp.zeros((n_resp, _BLOCK), jnp.float32)
 
     def chunk_body(k, acc):
-        kt = ktab_ref[pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK), :]         # (chunk, 8)
+        kt = ktab_ref[pl.ds(k * chunk, chunk), :]                     # (chunk, 8)
         ddx = kt[:, 0:1] - px                                         # (chunk, BLOCK)
         ddy = kt[:, 1:2] - py
         r2 = ddx * ddx + ddy * ddy
         # r2 * log(max(r2, tiny)) is exact at r2=0 (0 * log(tiny) == 0),
         # so no select is needed
         phi = 0.5 * r2 * jnp.log(jnp.maximum(r2, jnp.finfo(jnp.float32).tiny))
-        cc = c_ref[:, pl.ds(k * _KNOT_CHUNK, _KNOT_CHUNK)]            # (R, chunk)
+        cc = c_ref[:, pl.ds(k * chunk, chunk)]                        # (R, chunk)
         return acc + jnp.dot(
             cc, phi,
             preferred_element_type=jnp.float32,
@@ -119,7 +126,8 @@ def _compiled_grid_eval(nrows: int, ncols: int, n: int, n_resp: int):
     trip, so the whole path must live in a single jit.  The coordinate
     shift/scale AND the grid affine enter through SMEM as runtime data, so
     one compile serves every model and every same-shape panel/tile."""
-    n_pad = _round_up(max(n, _KNOT_CHUNK), _KNOT_CHUNK)
+    chunk = _chunk_for(n)
+    n_pad = _round_up(max(n, chunk), chunk)
     n_cells = nrows * ncols
     n_blocks = _round_up(n_cells, _BLOCK) // _BLOCK
 
@@ -143,7 +151,7 @@ def _compiled_grid_eval(nrows: int, ncols: int, n: int, n_resp: int):
         dt = jnp.pad(dperm.T, ((0, 0), (0, 8 - 3)))                  # (R, 8)
 
         kernel = functools.partial(
-            _kernel, n_chunks=n_pad // _KNOT_CHUNK, ncols=ncols
+            _kernel, n_chunks=n_pad // chunk, ncols=ncols, chunk=chunk
         )
         outs = pl.pallas_call(
             kernel,
