@@ -23,9 +23,10 @@ predicted over the 3264 x 2476 (~8.08 M cell) covariate grid geometry
 * ``end_to_end_s``     — (only with MACHISPLIN_BENCH_E2E=1) full two-response
                          ``mltps`` wall on the bundled workload, the second
                          half of BASELINE.json's metric.  Skipped by default
-                         (~4 min warm / ~9 min cold through this container's
-                         remote-compile tunnel); artifacts/round2/TIMING.txt
-                         records full runs: 239 s warm / 516 s cold.
+                         (~2.5 min warm / ~9 min cold through this
+                         container's remote-compile tunnel);
+                         artifacts/round2/TIMING.txt records full runs:
+                         137.3 s warm / 516 s cold.
 
 vs_baseline: the reference has no published numbers (BASELINE.md), so the
 baseline is an estimate of fields::Tps + terra::interpolate on a laptop-class

@@ -49,6 +49,13 @@ def enable_compile_cache(cache_dir: str | None = None,
 
     import jax
 
+    # respect a cache the host application already configured (e.g. the
+    # test suite's .jax_cache via conftest) instead of repointing it
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if current:
+        _ENABLED_DIR = current
+        return _ENABLED_DIR
+
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
