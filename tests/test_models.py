@@ -446,3 +446,30 @@ def test_bin_interval_forest_predict_matches_gather(rng):
         )
     )
     np.testing.assert_allclose(rf_bins, a_rf, rtol=1e-5, atol=1e-6)
+
+
+def test_gam_smooth_recovers_nonlinear_additive(rng):
+    """The opt-in P-spline GAM (SURVEY §7's "true GAM" extension) must
+    recover a smooth nonlinear additive signal that the reference's
+    degenerate OLS formula cannot, and its GCV lambda must avoid both
+    interpolation and over-smoothing."""
+    n = 400
+    x = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    truth = np.sin(2.2 * x[:, 0]) + 0.5 * x[:, 1] ** 2 - 0.3 * x[:, 2]
+    y = (truth + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    ols = gam.fit(None, jnp.asarray(x), jnp.asarray(y))
+    sm = gam.fit(None, jnp.asarray(x), jnp.asarray(y), smooth=True)
+
+    xt = rng.uniform(-1.9, 1.9, (300, 3)).astype(np.float32)
+    tt = np.sin(2.2 * xt[:, 0]) + 0.5 * xt[:, 1] ** 2 - 0.3 * xt[:, 2]
+
+    def r2(pred):
+        return 1 - np.sum((tt - pred) ** 2) / np.sum((tt - tt.mean()) ** 2)
+
+    r2_ols = r2(np.asarray(gam.predict(ols, xt)))
+    r2_sm = r2(np.asarray(gam.predict(sm, xt)))
+    assert r2_sm > 0.95
+    assert r2_sm > r2_ols + 0.2     # the smooths capture real structure
+    imp = gam.importance(sm, ["a", "b", "c"])
+    assert imp["a"]["s_norm"] > imp["c"]["s_norm"]  # linear term needs no wiggle
