@@ -43,7 +43,7 @@ class CVConfig:
         )
     )
     rf: dict = dataclasses.field(default_factory=lambda: dict(ntree=500))
-    nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=400))
+    nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=10000))
     mars: dict = dataclasses.field(default_factory=dict)
     svm: dict = dataclasses.field(default_factory=dict)
     gam: dict = dataclasses.field(default_factory=dict)

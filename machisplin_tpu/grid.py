@@ -175,7 +175,15 @@ class Raster:
         (no device transfer).  Used for rasters straight off disk — this
         jax build's CPU host->device copy degrades nonlinearly past 2^31
         elements (~95 s for a 4 GB array), so BigTIFF-scale reads must stay
-        on the host; jnp ops convert lazily, block by block."""
+        on the host; jnp ops convert lazily, block by block.
+
+        READ-ONLY contract: ``data`` may be a zero-copy view over a
+        memory-mapped file (io/geotiff.read_geotiff's mmap fast path when
+        the on-disk dtype is already float32 and no nodata substitution is
+        needed); in-place numpy mutation of ``raster.data`` then raises
+        ``ValueError: assignment destination is read-only``.  Copy first
+        (``np.array(raster.data)``) if you must mutate; the mapping itself
+        is released when the array is garbage-collected."""
         arr = np.asarray(data)
         obj = cls.__new__(cls)
         if arr.ndim not in (2, 3):

@@ -133,11 +133,19 @@ def fit_smooth(key, x, y, *, sample_weight=None, k: int = 10,
     x_scale = jnp.where(x_scale > 0, x_scale, 1.0)
     xs = xc / x_scale
 
-    # per-feature padded knot vectors: 4-fold boundary + k-4 interior quantiles
-    qs = jnp.linspace(0.0, 1.0, k - 2)[1:-1]               # k-4 interior
-    lo = jnp.min(xs, axis=0) - 1e-3
-    hi = jnp.max(xs, axis=0) + 1e-3
-    interior = jnp.quantile(xs, qs, axis=0).T              # (p, k-4)
+    # per-feature padded knot vectors: 4-fold boundary + k-4 interior
+    # quantiles, all from the ACTIVE (w > 0) rows only — knot placement from
+    # held-out rows would leak covariate information into CV folds, and the
+    # weighted mean/scale just above already exclude them
+    active = (w > 0)[:, None]
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    lo = jnp.min(jnp.where(active, xs, big), axis=0) - 1e-3
+    hi = jnp.max(jnp.where(active, xs, -big), axis=0) + 1e-3
+    from .trees import make_bins_masked
+
+    # quantiles linspace(0,1,k-2)[1:-1] over the active rows == the masked
+    # bin-edge helper at n_bins = k-3
+    interior = make_bins_masked(xs, w, k - 3)              # (p, k-4)
     knots = jnp.concatenate(
         [jnp.repeat(lo[:, None], 4, axis=1), interior,
          jnp.repeat(hi[:, None], 4, axis=1)], axis=1,

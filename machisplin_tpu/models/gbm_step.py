@@ -420,13 +420,15 @@ def fit_outer_batched(
     for s in range(0, f_outer, chunk):
         w_c = outer_train_w[s : s + chunk]
         y_c = y[s : s + chunk]
-        if w_c.shape[0] < chunk:  # pad to the compiled chunk width
-            pad = chunk - w_c.shape[0]
-            w_c = jnp.concatenate([w_c, w_c[:pad]], axis=0)
-            y_c = jnp.concatenate([y_c, y_c[:pad]], axis=0)
+        if w_c.shape[0] < chunk:  # tile the remainder up to the compiled chunk
+            # width (a single [:pad] slice under-pads when the remainder is
+            # smaller than the deficit, forcing a fresh multi-minute compile)
+            reps = -(-chunk // w_c.shape[0])
+            w_c = jnp.tile(w_c, (reps, 1))[:chunk]
+            y_c = jnp.tile(y_c, (reps, 1))[:chunk]
         tol_c = tolerance[s : s + chunk] if isinstance(tolerance, np.ndarray) else tolerance
         if isinstance(tol_c, np.ndarray) and tol_c.shape[0] < chunk:
-            tol_c = np.concatenate([tol_c, tol_c[: chunk - tol_c.shape[0]]])
+            tol_c = np.resize(tol_c, chunk)
         stopped_c, dev_c, _, _ = curve_fn(jax.random.fold_in(kcv, s), y_c, w_c, tol_c)
         stopped_parts.append(np.asarray(stopped_c))
         cv_parts.append(np.asarray(jnp.mean(dev_c, axis=2)))

@@ -125,14 +125,20 @@ def fit(
     else:
         es = jnp.maximum(jnp.floor(3.0 - jnp.log2(alpha / p)), 1.0)
 
-    # knot candidates: training observations at sorted ranks es, es+ms,
-    # es+2ms, ... (earth's span-filtered knot set), one static (p, K) grid.
+    # knot candidates: training observations at sorted ranks es, es+step,
+    # es+2*step, ... (earth's span-filtered knot set), one static (p, K) grid.
+    # The stride is max(minspan, span/K) so the K candidates COVER the whole
+    # span-eligible range [es, n_eff-es-1] — a bare ms stride caps candidates
+    # at order statistic es+ms*(K-1), which for typical n leaves no knots in
+    # the upper half of any covariate (hinges there fit R^2 ~0.5 instead of
+    # ~1; earth filters ALL observations, it does not bottom-anchor).
     # Ranks past n_eff - es - 1 are invalid; their gains are masked out.
     order = jnp.argsort(x, axis=0)                              # (n, p)
     xs_sorted = jnp.take_along_axis(x, order, axis=0)
     w_sorted = w[order]
     cw = jnp.cumsum(w_sorted, axis=0)                           # (n, p) counts
-    ranks = es + ms * jnp.arange(n_knots, dtype=x.dtype)        # (K,)
+    step = jnp.maximum(ms, (n_eff - 2.0 * es) / n_knots)
+    ranks = es + step * jnp.arange(n_knots, dtype=x.dtype)      # (K,)
     rank_valid = ranks <= n_eff - es - 1.0                      # (K,)
     rank_valid = rank_valid.at[0].set(True)  # never an empty candidate set
     # first sorted index whose cumulative train count reaches rank+1

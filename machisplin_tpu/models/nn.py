@@ -51,7 +51,7 @@ def fit(
     *,
     sample_weight=None,
     hidden: int = 10,
-    maxit: int = 500,
+    maxit: int = 10000,
     init_range: float = 0.7,
     decay: float = 0.0,
 ) -> NNState:

@@ -50,12 +50,14 @@ class SVMState(NamedTuple):
 
 
 def _rbf(a, b, sigma):
-    aa = jnp.sum(a * a, axis=1)[:, None]
-    bb = jnp.sum(b * b, axis=1)[None, :]
-    # full-f32 matmul: bf16 inputs (TPU default) give ~1% r^2 error, which
-    # perturbs the dual solve's KKT conditions
-    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-    r2 = jnp.maximum(aa + bb - 2.0 * ab, 0.0)
+    # explicit per-feature differences — the repo's precision doctrine bans
+    # the |a|^2+|b|^2-2ab' expansion (catastrophic cancellation at small r;
+    # see ops/tps.py and CLAUDE.md).  Accumulating feature-by-feature keeps
+    # the peak intermediate at one (m, n) panel instead of (m, n, p).
+    r2 = jnp.zeros((a.shape[0], b.shape[0]), a.dtype)
+    for f in range(a.shape[1]):
+        d = a[:, f][:, None] - b[None, :, f]
+        r2 = r2 + d * d
     return jnp.exp(-sigma * r2)
 
 

@@ -17,8 +17,10 @@ with bin_f(x) = #{edges_f < x}.  Prediction per cell block is then pure
 dense algebra with NO gathers and no per-tree matmuls:
 
   * bin indices: (cells, B) compares + row-sum on the VPU per feature;
-  * leaf membership: two broadcast compares against the (8, leaves) lo/hi
-    tables, AND-accumulated over features on the VPU;
+  * leaf membership: two broadcast compares against the (F, leaves) lo/hi
+    tables, AND-accumulated over features on the VPU (F = features rounded
+    up to the 8-sublane granule, so any covariate-stack width works —
+    terra::predict handles arbitrary stacks, V73:468);
   * the weighted leaf-value reduction: one (cells, leaves) x (leaves, 1)
     MXU matvec.
 
@@ -42,7 +44,7 @@ __all__ = ["LeafBinTables", "build_leaf_bins", "forest_predict_bins"]
 
 _CELL_BLOCK = 2048
 _LEAF_CHUNK = 512
-_FEAT_PAD = 8
+_FEAT_GRANULE = 8  # f32 sublane granule; feature axis pads up to a multiple
 
 
 def _round_up(x: int, m: int) -> int:
@@ -52,9 +54,9 @@ def _round_up(x: int, m: int) -> int:
 class LeafBinTables(NamedTuple):
     """Host-built bin-space leaf geometry of one forest (weight-free)."""
 
-    etab: np.ndarray      # (8, B_pad) f32 per-feature sorted edges, +inf pad
-    lo: np.ndarray        # (8, TL_pad) f32 per-feature lower bin bound
-    hi: np.ndarray        # (8, TL_pad) f32 upper bound (pad slots lo=1,hi=0)
+    etab: np.ndarray      # (F_pad, B_pad) f32 per-feature sorted edges, +inf pad
+    lo: np.ndarray        # (F_pad, TL_pad) f32 per-feature lower bin bound
+    hi: np.ndarray        # (F_pad, TL_pad) f32 upper bound (pad slots lo=1,hi=0)
     leaf_tree: np.ndarray  # (TL_pad,) int32 tree id of each leaf slot (-1 pad)
     leaf_node: np.ndarray  # (TL_pad,) int32 node id of each leaf slot (0 pad)
     n_feat: int           # real feature count p
@@ -74,8 +76,7 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     right = np.asarray(trees.right)
     t, n_nodes = feat.shape
     p = int(n_feat if n_feat is not None else feat.max() + 1)
-    if p > _FEAT_PAD:
-        raise ValueError(f"forest uses {p} features > kernel budget {_FEAT_PAD}")
+    f_pad = _round_up(p, _FEAT_GRANULE)
 
     # per-feature sorted unique thresholds over all internal nodes
     int_mask = internal > 0
@@ -83,7 +84,7 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     n_edges = max((len(e) for e in edges), default=0)
     n_bins = n_edges + 1
     b_pad = _round_up(max(n_edges, 1), 128)
-    etab = np.full((_FEAT_PAD, b_pad), np.inf, np.float32)
+    etab = np.full((f_pad, b_pad), np.inf, np.float32)
     for f in range(p):
         etab[f, : len(edges[f])] = edges[f]
 
@@ -109,8 +110,8 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
 
     n_leaves = len(l_tree)
     tl_pad = _round_up(max(n_leaves, 1), _LEAF_CHUNK)
-    lo = np.ones((_FEAT_PAD, tl_pad), np.float32)   # empty interval at padding
-    hi = np.zeros((_FEAT_PAD, tl_pad), np.float32)
+    lo = np.ones((f_pad, tl_pad), np.float32)   # empty interval at padding
+    hi = np.zeros((f_pad, tl_pad), np.float32)
     lo[:p, :n_leaves] = np.stack(los, axis=1)
     hi[:p, :n_leaves] = np.stack(his, axis=1)
     leaf_tree = np.full(tl_pad, -1, np.int32)
@@ -184,19 +185,20 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
 
     kernel = functools.partial(_kernel, p_real=p_real)
     b_pad = etab.shape[1]
+    f_pad = x_pad.shape[1]
     out = pl.pallas_call(
         kernel,
         grid=(m_pad // _CELL_BLOCK, tl_pad // _LEAF_CHUNK),
         in_specs=[
-            pl.BlockSpec((b_pad, _FEAT_PAD), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_FEAT_PAD, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (f_pad, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_LEAF_CHUNK, _FEAT_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (_LEAF_CHUNK, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_LEAF_CHUNK, _FEAT_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (_LEAF_CHUNK, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, _LEAF_CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM
@@ -206,10 +208,10 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             (1, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_FEAT_PAD, _CELL_BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((f_pad, _CELL_BLOCK), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * tl_pad * p_real + 2 * m_pad * tl_pad,
-            bytes_accessed=4 * (m_pad * _FEAT_PAD + 3 * tl_pad * _FEAT_PAD + m_pad),
+            bytes_accessed=4 * (m_pad * f_pad + 3 * tl_pad * f_pad + m_pad),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -242,7 +244,7 @@ def forest_predict_bins(
     )[:, None].astype(jnp.float32)
 
     m_pad = _round_up(max(m, 1), _CELL_BLOCK)
-    x_pad = jnp.pad(x, ((0, m_pad - m), (0, _FEAT_PAD - p)))
+    x_pad = jnp.pad(x, ((0, m_pad - m), (0, tables.etab.shape[0] - p)))
     return _predict_impl(
         jnp.asarray(tables.etab),
         x_pad,

@@ -61,7 +61,7 @@ class MLTPSConfig:
         )
     )
     final_rf: dict = dataclasses.field(default_factory=lambda: dict(ntree=500))
-    final_nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=400))
+    final_nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=10000))
     final_mars: dict = dataclasses.field(default_factory=dict)
     final_svm: dict = dataclasses.field(default_factory=dict)
     final_gam: dict = dataclasses.field(default_factory=dict)

@@ -473,3 +473,91 @@ def test_gam_smooth_recovers_nonlinear_additive(rng):
     assert r2_sm > r2_ols + 0.2     # the smooths capture real structure
     imp = gam.importance(sm, ["a", "b", "c"])
     assert imp["a"]["s_norm"] > imp["c"]["s_norm"]  # linear term needs no wiggle
+
+
+def test_mars_knot_grid_covers_upper_quantiles(rng):
+    """Round-3 regression (ADVICE r2, high): a bare es + ms*j rank grid
+    bottom-anchors the candidate knots — with n ~ 800 and the automatic
+    spans no candidate sat above the ~50th percentile, so a hinge at the
+    0.8 quantile fit R^2 ~ 0.5.  The strided grid must cover the whole
+    span-eligible range and fit symmetric upper/lower hinges equally."""
+    n, p = 800, 7
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, p)))
+    xa = np.asarray(x)
+    for q in (0.2, 0.8):
+        t = float(np.quantile(xa[:, 0], q))
+        y = jnp.asarray(3.0 * np.maximum(xa[:, 0] - t, 0) + 1.0)
+        state = mars.fit(None, x, y)
+        got = r2(y, mars.predict(state, x))
+        assert got > 0.95, f"hinge at the {q} quantile fit R^2 {got:.3f}"
+
+
+def test_bin_interval_forest_many_features(rng):
+    """Round-3 regression (VERDICT Missing #3): the bin-interval leaf
+    predictor must handle forests over MORE than 8 features (arbitrary
+    covariate stacks, terra::predict V73:468) — the feature axis pads to
+    the sublane granule instead of raising."""
+    from machisplin_tpu.models.trees import forest_predict
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+
+    n, p = 300, 11
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, p)))
+    xa = np.asarray(x)
+    y = jnp.asarray(
+        2.0 * xa[:, 0] + np.sin(3 * xa[:, 5]) + 0.5 * (xa[:, 9] > 0.4)
+        + 0.05 * rng.standard_normal(n)
+    )
+    state = brt.fit(jax.random.PRNGKey(3), x, y, n_trees=30, n_splits=4, lr=0.1)
+    xq = jnp.asarray(rng.uniform(0, 1, size=(500, p)))
+    w = state.tree_active * state.lr
+    want = np.asarray(forest_predict(state.trees, xq, state.n_splits, weights=w))
+    tabs = build_leaf_bins(state.trees, n_feat=p)
+    assert tabs.etab.shape[0] == 16          # 11 features pad to 2 granules
+    got = np.asarray(forest_predict_bins(state.trees, xq, w, tables=tabs, use_pallas=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    kern = np.asarray(
+        forest_predict_bins(state.trees, xq, w, tables=tabs, use_pallas=True, interpret=True)
+    )
+    np.testing.assert_allclose(kern, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gam_smooth_masked_equals_subset(rng):
+    """fit_smooth's knot placement and standardisation must come from the
+    ACTIVE rows only (ADVICE r2: unweighted quantiles leak held-out
+    covariates into CV folds) — the fold-mask fit must equal the subset fit."""
+    n = 400
+    x = rng.uniform(-2, 2, (n, 3)).astype(np.float64)
+    y = (np.sin(2 * x[:, 0]) + 0.5 * x[:, 1] + 0.1 * rng.standard_normal(n))
+    w = jnp.asarray((np.arange(n) < 300).astype(np.float64))
+    sub = gam.fit(None, jnp.asarray(x[:300]), jnp.asarray(y[:300]), smooth=True)
+    msk = gam.fit(None, jnp.asarray(x), jnp.asarray(y), sample_weight=w, smooth=True)
+    np.testing.assert_allclose(np.asarray(msk.knots), np.asarray(sub.knots), rtol=1e-10)
+    xt = jnp.asarray(rng.uniform(-1.8, 1.8, (50, 3)))
+    np.testing.assert_allclose(
+        np.asarray(gam.predict(msk, xt)), np.asarray(gam.predict(sub, xt)), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_nn_maxit_plateaus_by_default(rng):
+    """PARITY (VERDICT Weak #5): the NN defaults now run maxit=10000 like
+    nnet (V73:249).  Convergence evidence for docs/PARITY.md: held-out
+    accuracy plateaus well before the default — a 1500-iteration fit and a
+    4000-iteration fit must agree to within the seed-to-seed noise floor
+    (measured ~0.001 R^2), so the 10000 default is safely converged."""
+    n = 800
+    x = rng.uniform(0, 1, size=(n, 5))
+    y = (
+        2 * x[:, 0] + np.sin(3 * x[:, 1]) + 0.5 * (x[:, 2] > 0.6)
+        + 0.3 * x[:, 3] * x[:, 4] + 0.05 * rng.standard_normal(n)
+    )
+    xtr, ytr = jnp.asarray(x[:500]), jnp.asarray(y[:500])
+    xte, yte = x[500:], y[500:]
+
+    def heldout_r2(maxit):
+        s = nn.fit(jax.random.PRNGKey(5), xtr, ytr, maxit=maxit)
+        p = np.asarray(nn.predict(s, jnp.asarray(xte)))
+        return 1 - np.sum((p - yte) ** 2) / np.sum((yte - yte.mean()) ** 2)
+
+    r_mid, r_late = heldout_r2(1500), heldout_r2(4000)
+    assert r_mid > 0.98 and r_late > 0.98
+    assert abs(r_late - r_mid) < 3e-3
