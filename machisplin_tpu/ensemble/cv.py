@@ -12,7 +12,8 @@ TPU-native: gam/nn/mars/svm folds are vmapped (sample-weight masks give every
 fold the same static shapes); gbm.step batches ALL outer folds into one
 while_loop (models/gbm_step.fit_outer_batched — 100 boosting chains advance
 in lockstep); RF runs fold-sequential to keep peak memory flat, with all
-per-fold compute jitted.
+per-fold compute jitted.  With a device mesh, every batch axis above shards
+across the chips — including the gbm.step chain axis and the RF folds.
 """
 from __future__ import annotations
 
@@ -81,9 +82,12 @@ def run_cv(
     response, as the reference does inside its layer loop (V73:221).
     Multi-response output is {letter: (R, n_concat)}.
 
-    ``mesh``: optional device mesh — the (response x fold) batch axis of the
-    vmappable algorithms shards across it (each device trains its share of
-    the fold models; x replicates).
+    ``mesh``: optional device mesh — every algorithm shards across it: the
+    (response x fold) batch axis of the vmappable algorithms (g/n/m/v), the
+    gbm.step outer-chain axis (all boosting chains advance in lockstep,
+    each device carrying its share), and the RF fold axis in device-count
+    groups.  x replicates; chains/folds are independent, so sharded results
+    match the single-device run.
     """
     config = config or CVConfig()
 
@@ -154,18 +158,41 @@ def run_cv(
         ), 3)
         preds["v"] = chunked(fit_v, keys, flat_y, flat_w)
     if "r" in algorithms:
-        rows = []
-        fit_r = jax.jit(
-            lambda kk, yy, w: rf.predict(rf.fit(kk, x, yy, sample_weight=w, **config.rf), x)
+        keys_r = [jax.random.fold_in(kr, i) for i in range(n_resp * k)]
+        rf_one = lambda kk, yy, w: rf.predict(
+            rf.fit(kk, x, yy, sample_weight=w, **config.rf), x
         )
-        for i in range(n_resp * k):
-            rows.append(fit_r(jax.random.fold_in(kr, i), flat_y[i], flat_w[i]))
-        preds["r"] = jnp.stack(rows)
+        if mesh is None:
+            fit_r = jax.jit(rf_one)
+            preds["r"] = jnp.stack(
+                [fit_r(keys_r[i], flat_y[i], flat_w[i]) for i in range(n_resp * k)]
+            )
+        else:
+            # fold models shard across the mesh in device-count groups: each
+            # device trains ONE forest at a time (peak memory matches the
+            # serial loop) while the group runs devices-wide in parallel
+            fit_rv = batched_jit(jax.vmap(rf_one), 3)
+            n_dev = int(np.prod(mesh.devices.shape))
+            keys_arr = jnp.stack(keys_r)
+            rows = []
+            for s in range(0, n_resp * k, n_dev):
+                part = [a[s : s + n_dev] for a in (keys_arr, flat_y, flat_w)]
+                mm = part[0].shape[0]
+                rem = (-mm) % n_dev
+                if rem:
+                    part = [
+                        jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)])
+                        for a in part
+                    ]
+                rows.append(fit_rv(*part)[:mm])
+            preds["r"] = jnp.concatenate(rows, axis=0)
     if "b" in algorithms:
         # ALL (response, outer-fold) gbm.step runs batched into one call:
-        # each pair is just another boosting chain with its own y column
+        # each pair is just another boosting chain with its own y column;
+        # with a mesh the chain axis shards across the devices (the
+        # pipeline's dominant phase — the reference's HOT LOOP #1)
         preds_b, _ = gbm_step.fit_outer_batched(
-            kb, x, flat_y, flat_w, **config.brt
+            kb, x, flat_y, flat_w, mesh=mesh, **config.brt
         )
         preds["b"] = jnp.asarray(preds_b)
 

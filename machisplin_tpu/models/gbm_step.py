@@ -276,9 +276,16 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
     return cycle
 
 
+def _chain_sharding(mesh, ndim):
+    """NamedSharding putting the leading (outer-chain) axis on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
+
+
 def _cv_deviance_curve_multi(
     key, x, y, w_outer, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
-    step_size, max_trees, tolerance, n_bins,
+    step_size, max_trees, tolerance, n_bins, mesh=None,
 ):
     """All OUTER folds' gbm.step CV curves, batched.
 
@@ -289,7 +296,15 @@ def _cv_deviance_curve_multi(
     tree step — in bounded jitted cycle programs with the checkpoint/stop
     bookkeeping on the host; each outer fold freezes at its own stopping
     checkpoint (the reference's rule applied per gbm.step run).  Returns
-    (stopped_at (F,), dev (max_cp, F, K), per-chain edges, per-chain xb)."""
+    (stopped_at (F,), dev (max_cp, F, K), per-chain edges, per-chain xb).
+
+    ``mesh``: device mesh — the outer-chain axis F shards across it (F must
+    divide the mesh size; fit_outer_batched pads its chunks accordingly).
+    Chains are independent, so the sharded program is the single-device
+    program in a different layout: results are identical.  This is the
+    multi-chip path for the pipeline's dominant phase (the reference's HOT
+    LOOP #1, V73:225-319 — the loop its dead snowfall fan-out targeted,
+    old/...V69.R:936-969)."""
     n, p = x.shape
     f_outer = w_outer.shape[0]
     y = jnp.asarray(y)
@@ -334,6 +349,17 @@ def _cv_deviance_curve_multi(
         min_leaf=min_leaf, step_size=step_size, n_cycles=n_cyc,
     )
     fmat = jnp.broadcast_to(f0[:, :, None], (f_outer, n_folds, n)).astype(x.dtype)
+    if mesh is not None:
+        # commit every F-leading operand to a chain-sharded layout; the jitted
+        # cycle program propagates the sharding (each device advances its
+        # share of the boosting chains, no collectives needed)
+        shard = lambda a: jax.device_put(a, _chain_sharding(mesh, a.ndim))
+        fmat, xb, edges, train_w, test_w, test_sum, y = map(
+            shard, (fmat, xb, edges, train_w, test_w, test_sum, y)
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.device_put(x, NamedSharding(mesh, P()))  # replicate rows
     dev = np.full((max_cp, f_outer, n_folds), np.inf, np.float64)
     stopped = np.full((f_outer,), max_cp + 1, np.int64)
     key_j = kboost
@@ -376,9 +402,14 @@ def fit_outer_batched(
     min_leaf: float = 10.0,
     n_bins: int = 64,
     outer_chunk: int = 20,
+    mesh=None,
 ):
     """gbm.step for ALL outer CV folds at once (the run_cv fast path;
     gaussian only — the only family mltps's CV uses, V73:247).
+
+    ``mesh``: device mesh — the outer-chain axis shards across it (chunks
+    round up to the mesh size; chains are independent so results match the
+    single-device run exactly).  See _cv_deviance_curve_multi.
 
     outer_train_w: (F, n) per-outer-fold training masks; ``y`` is (n,)
     shared or (F, n) per chain — so SEVERAL RESPONSE VARIABLES' gbm.step
@@ -413,9 +444,11 @@ def fit_outer_batched(
         k, x, yc, w,
         n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
         bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
-        max_trees=max_trees, tolerance=tol, n_bins=n_bins,
+        max_trees=max_trees, tolerance=tol, n_bins=n_bins, mesh=mesh,
     )
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     chunk = max(1, min(outer_chunk, f_outer))
+    chunk = -(-chunk // n_dev) * n_dev  # sharded chain axis must divide the mesh
     stopped_parts, cv_parts = [], []
     for s in range(0, f_outer, chunk):
         w_c = outer_train_w[s : s + chunk]
@@ -451,13 +484,23 @@ def fit_outer_batched(
             n_trees_active=nt, edges=e, xb=xbk,
         )
     )
-    finals = jax.vmap(fit_one)(
-        jax.random.split(kfinal, f_outer), y, outer_train_w,
-        jnp.asarray(best_trees), edges_f, xb_f,
-    )
+    f_pad = f_outer if mesh is None else -(-f_outer // n_dev) * n_dev
+    # threefry split is prefix-stable: rows [:f_outer] match the unpadded call
+    keys_f = jax.random.split(kfinal, f_pad)
+    refit_args = (keys_f, y, outer_train_w, jnp.asarray(best_trees), edges_f, xb_f)
+    if mesh is not None:
+        reps = -(-f_pad // f_outer)
+
+        def pad_shard(a):
+            if f_pad > a.shape[0]:
+                a = jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:f_pad]
+            return jax.device_put(a, _chain_sharding(mesh, a.ndim))
+
+        refit_args = tuple(map(pad_shard, refit_args))
+    finals = jax.vmap(fit_one)(*refit_args)
     # training-row predictions come straight from each final fit's scan
     # carry (active-tree mask already applied) — no forest routing pass
-    return np.asarray(finals.train_fit), best_trees
+    return np.asarray(finals.train_fit)[:f_outer], best_trees
 
 
 @highest_precision

@@ -74,3 +74,87 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_gbm_chains_match_single_device(rng):
+    """Round-3 (VERDICT next #1): the gbm.step outer-chain axis shards
+    across the mesh.  Chains are independent, so the sharded run is the
+    same math in a different layout: the CV stopping decisions and tree
+    counts must be IDENTICAL, and each chain's fit must be statistically
+    indistinguishable.  (Exact bitwise equality is not attainable: GSPMD
+    partitioning fuses the per-shard program differently at the last-ULP
+    level, and boosting's split-gain argmax amplifies exact ties — measured
+    1e-7 relative drift upstream of any split flip.)"""
+    from machisplin_tpu.models import gbm_step
+
+    n, p, f_outer = 160, 4, 8
+    x = jnp.asarray(rng.uniform(0, 1, (n, p)), jnp.float32)
+    y = jnp.asarray(
+        2 * np.asarray(x)[:, 0] + np.sin(4 * np.asarray(x)[:, 1])
+        + 0.1 * rng.standard_normal(n),
+        jnp.float32,
+    )
+    y_np = np.asarray(y)
+    w = jnp.asarray((rng.uniform(size=(f_outer, n)) < 0.8).astype(np.float32))
+    kw = dict(
+        tree_complexity=3, learning_rate=0.1, n_folds=4, step_size=20,
+        max_trees=120, n_bins=16,
+    )
+    key = jax.random.PRNGKey(7)
+    pred_1, bt_1 = gbm_step.fit_outer_batched(key, x, y, w, **kw)
+    pred_m, bt_m = gbm_step.fit_outer_batched(key, x, y, w, mesh=make_mesh(8), **kw)
+    np.testing.assert_array_equal(bt_m, bt_1)
+    w_np = np.asarray(w)
+    for f in range(f_outer):
+        tr = w_np[f] > 0
+        rms_1 = float(np.sqrt(np.mean((y_np[tr] - np.asarray(pred_1)[f, tr]) ** 2)))
+        rms_m = float(np.sqrt(np.mean((y_np[tr] - np.asarray(pred_m)[f, tr]) ** 2)))
+        assert rms_m == pytest.approx(rms_1, rel=0.02), f"chain {f} fit quality drifted"
+        # the two fits are the same model up to tie-broken splits
+        assert np.corrcoef(np.asarray(pred_1)[f], np.asarray(pred_m)[f])[0, 1] > 0.999
+
+
+def test_run_cv_mesh_shards_all_six_letters(rng):
+    """run_cv(mesh=...) must shard EVERY algorithm — including the tree
+    models (BRT chain axis, RF fold groups) — and agree with the serial
+    single-device run."""
+    from machisplin_tpu.ensemble.cv import CVConfig, run_cv
+
+    n, p = 120, 4
+    x = jnp.asarray(rng.uniform(0, 1, (n, p)), jnp.float32)
+    y = jnp.asarray(
+        np.stack([
+            2 * np.asarray(x)[:, 0] + 0.1 * rng.standard_normal(n),
+            np.cos(3 * np.asarray(x)[:, 1]) + 0.1 * rng.standard_normal(n),
+        ], axis=1),
+        jnp.float32,
+    )
+    cfg = CVConfig(
+        n_folds=4,
+        brt=dict(tree_complexity=2, learning_rate=0.1, step_size=20, max_trees=80, n_bins=16),
+        rf=dict(ntree=8, tree_chunk=4),
+        nn=dict(hidden=3, maxit=30),
+        svm=dict(epochs=30),
+    )
+    key = jax.random.PRNGKey(3)
+    serial = run_cv(key, x, y, config=cfg, algorithms="bgnmrv")
+    sharded = run_cv(key, x, y, config=cfg, algorithms="bgnmrv", mesh=make_mesh(8))
+    for letter in "bgnmrv":
+        a = np.asarray(serial[letter])
+        b = np.asarray(sharded[letter])
+        if letter == "g":
+            # the direct OLS solve: sharded result matches to solver tolerance
+            np.testing.assert_allclose(
+                b, a, rtol=1e-5, atol=1e-6,
+                err_msg=f"algorithm {letter} drifted under the mesh",
+            )
+        else:
+            # iterative/greedy fits (L-BFGS, boosting and MARS argmax, RF
+            # bootstrap) amplify the GSPMD layout's last-ULP differences;
+            # assert statistical equivalence: same residual scale per response
+            rms_a = np.sqrt(np.mean(a**2, axis=-1))
+            rms_b = np.sqrt(np.mean(b**2, axis=-1))
+            np.testing.assert_allclose(
+                rms_b, rms_a, rtol=0.05,
+                err_msg=f"algorithm {letter} fit quality drifted under the mesh",
+            )
