@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import as_weight
-from .trees import Tree, bin_data, grow_bestfirst_tree, make_bins
+from .trees import Tree, bin_data, flat_bin_onehot, grow_bestfirst_tree, make_bins
 
 from ..utils.precision import highest_precision
 
@@ -78,6 +78,8 @@ def fit(
         edges = make_bins(x, n_bins)
     if xb is None:
         xb = bin_data(x, edges)
+    # one bf16 one-hot shared by every tree in the chain (trees.flat_bin_onehot)
+    b1h = flat_bin_onehot(xb, int(edges.shape[1]) + 1)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     f0 = f0_init(y, w, family)
     if n_trees_active is None:
@@ -94,7 +96,8 @@ def fit(
         bag = (jax.random.uniform(key_t, (n,)) < bag_fraction).astype(x.dtype) * w
         z = gradient(y, f, family)
         tree, cur = grow_bestfirst_tree(
-            xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf, return_assign=True
+            xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf,
+            return_assign=True, bin1h=b1h,
         )
         if family != "gaussian":
             tree = tree._replace(

@@ -128,6 +128,9 @@ def _cv_deviance_curve(
     # per-fold split candidates from each fold's own training subset
     edges_k = jax.vmap(lambda wk: make_bins_masked(x, wk, n_bins))(train_w)  # (k, p, nb-1)
     xb_k = jax.vmap(lambda e: bin_data(x, e))(edges_k)                       # (k, n, p)
+    from .trees import flat_bin_onehot
+
+    b1h_k = jax.vmap(lambda q: flat_bin_onehot(q, n_bins))(xb_k)  # shared per fold
     f0 = jax.vmap(lambda wk: f0_init(y, wk, family))(train_w)                # (k,)
 
     max_cp = max_trees // step_size
@@ -137,12 +140,13 @@ def _cv_deviance_curve(
         """Advance every fold by step_size trees; f is (k, n) link scale."""
 
         def tree_step(f, key_t):
-            def per_fold(f_k, w_k, xb_f, edges_f, key_k):
+            def per_fold(f_k, w_k, xb_f, edges_f, b1h_f, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
                 z = gradient(y, f_k, family)
                 tree, cur = grow_bestfirst_tree(
                     xb_f, edges_f, z, bag,
                     n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
+                    bin1h=b1h_f,
                 )
                 if family != "gaussian":
                     tree = tree._replace(
@@ -153,7 +157,7 @@ def _cv_deviance_curve(
                 return f_k + lr * assigned_predict(tree.value, cur, n_total)
 
             fold_keys = jax.random.split(key_t, n_folds)
-            return jax.vmap(per_fold)(f, train_w, xb_k, edges_k, fold_keys), None
+            return jax.vmap(per_fold)(f, train_w, xb_k, edges_k, b1h_k, fold_keys), None
 
         keys = jax.random.split(key_c, step_size)
         f, _ = jax.lax.scan(tree_step, f, keys)
@@ -232,13 +236,20 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
         # y is (F, n): outer chains may carry DIFFERENT responses, so one
         # program serves every (response, outer-fold) pair at once.
         f_outer, n_folds, n = fmat.shape
+        from .trees import flat_bin_onehot
+
+        nb = int(edges.shape[-1]) + 1
+        xb_flat = xb.reshape((f_outer * n_folds,) + xb.shape[2:])
+        # one bf16 one-hot per chain, shared by EVERY tree this dispatch
+        b1h = jax.vmap(lambda q: flat_bin_onehot(q, nb))(xb_flat)
 
         def tree_step(fm, key_t):
-            def per_model(f_k, y_k, w_k, xb_k, edges_k, key_k):
+            def per_model(f_k, y_k, w_k, xb_k, edges_k, b1h_k, key_k):
                 bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
                 tree, cur = grow_bestfirst_tree(
                     xb_k, edges_k, y_k - f_k, bag,
                     n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
+                    bin1h=b1h_k,
                 )
                 # training-row prediction from the grower's own assignment —
                 # no tree_predict gather walk (see grow_bestfirst_tree doc)
@@ -254,8 +265,9 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
                 fm.reshape(f_outer * n_folds, n),
                 y_flat.reshape(f_outer * n_folds, n),
                 train_w.reshape(f_outer * n_folds, n),
-                xb.reshape((f_outer * n_folds,) + xb.shape[2:]),
+                xb_flat,
                 edges.reshape((f_outer * n_folds,) + edges.shape[2:]),
+                b1h,
                 keys,
             )
             return flat.reshape(f_outer, n_folds, n), None

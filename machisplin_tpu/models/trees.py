@@ -33,6 +33,7 @@ __all__ = [
     "make_bins",
     "make_bins_masked",
     "bin_data",
+    "flat_bin_onehot",
     "grow_level_tree",
     "grow_bestfirst_tree",
     "tree_assign",
@@ -87,21 +88,50 @@ def bin_data(x, edges):
     return jnp.sum(x[:, :, None] > edges[None, :, :], axis=2).astype(jnp.int32)
 
 
-def _node_histograms(cur, n_nodes, bin1h, w, wy):
-    """Histograms via MXU: returns (n_nodes, p, n_bins) sums of w and w*y.
+def flat_bin_onehot(xb, nb: int):
+    """(n, p * nb) bf16 one-hot of the binned features.
 
-    cur:   (n,) node id per sample (may point outside [0, n_nodes) => ignored)
-    bin1h: (n, p, n_bins) one-hot of the binned features
+    0/1 values are EXACT in bf16, so storing the one-hot at half the bytes
+    halves the histogram matmuls' HBM traffic — the split loop's floor —
+    with no rounding anywhere.  Build this ONCE per (fold, chain) outside
+    the tree/split loops; rebuilding it per tree was pure waste."""
+    n, p = xb.shape
+    oh = xb[:, :, None] == jnp.arange(nb, dtype=xb.dtype)[None, None, :]
+    return oh.astype(jnp.bfloat16).reshape(n, p * nb)
+
+
+def _hist_matmul(a, bin1h_flat):
+    """Histogram contraction a (r, n) @ one-hot (n, p*nb) at ~f32 accuracy.
+
+    The B-side one-hot is exact in bf16; the A-side (weights / weighted
+    responses) splits into bf16 hi+lo halves, so TWO bf16 MXU passes bound
+    the error at ~1e-5 relative — against HIGHEST's six passes on an f32
+    one-hot with double the HBM bytes.  These sums feed split GAINS only
+    (leaf values take the HIGHEST-precision path), so the last digits can
+    at most flip ties between near-equal split candidates — NOT the
+    statistics the round-1 bf16 bug corrupted (see CLAUDE.md)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(a.dtype)).astype(jnp.bfloat16)
+    dn = (((a.ndim - 1,), (a.ndim - 2,)), ((), ()))
+    hi = jax.lax.dot_general(a_hi, bin1h_flat, dn, preferred_element_type=jnp.float32)
+    lo = jax.lax.dot_general(a_lo, bin1h_flat, dn, preferred_element_type=jnp.float32)
+    return (hi + lo).astype(a.dtype)
+
+
+def _node_histograms(cur, n_nodes, bin1h_flat, nb, w, wy):
+    """Histograms via MXU: returns (n_nodes, p, nb) sums of w and w*y.
+
+    cur:        (n,) node id per sample (ids outside [0, n_nodes) => ignored)
+    bin1h_flat: (n, p * nb) bf16 one-hot (``flat_bin_onehot``)
 
     The w and w*y statistics ride ONE stacked matmul (2N output rows): the
     split loop is launch-latency-bound on this runtime, so halving the
     kernel count matters more than the flops.
     """
     node1h = (cur[:, None] == jnp.arange(n_nodes)[None, :]).astype(w.dtype)  # (n, N)
-    n, p, nb = bin1h.shape
-    flat = bin1h.reshape(n, p * nb)
+    p = bin1h_flat.shape[1] // nb
     a = jnp.concatenate([node1h * w[:, None], node1h * wy[:, None]], axis=1)
-    h = a.T @ flat                               # (2N, p*nb)
+    h = _hist_matmul(a.T, bin1h_flat)            # (2N, p*nb)
     return h[:n_nodes].reshape(n_nodes, p, nb), h[n_nodes:].reshape(n_nodes, p, nb)
 
 
@@ -157,19 +187,22 @@ def _leaf_values(cur, n_total, w, wy):
 
 
 def grow_level_tree(
-    key, xb, edges, y, w, *, max_depth: int = 8, min_leaf: float = 5.0, mtry: int | None = None
+    key, xb, edges, y, w, *, max_depth: int = 8, min_leaf: float = 5.0,
+    mtry: int | None = None, bin1h=None,
 ) -> Tree:
     """CART regression tree grown level-wise to ``max_depth`` (heap layout).
 
     randomForest semantics: per-node random ``mtry``-feature subset, split by
     SSE decrease, stop at ``min_leaf`` (nodesize).  ``w`` carries bootstrap
-    counts (0 for out-of-bag / masked rows).
+    counts (0 for out-of-bag / masked rows).  Pass ``bin1h``
+    (``flat_bin_onehot(xb, nb)``) to share one one-hot across many trees.
     """
     n, p = xb.shape
     nb = int(edges.shape[1]) + 1
     n_total = 2 ** (max_depth + 1) - 1
     dtype = y.dtype
-    bin1h = (xb[:, :, None] == jnp.arange(nb)[None, None, :]).astype(dtype)
+    if bin1h is None:
+        bin1h = flat_bin_onehot(xb, nb)
     wy = w * y
 
     feat = jnp.zeros((n_total,), jnp.int32)
@@ -182,7 +215,7 @@ def grow_level_tree(
         offset = 2**level - 1
         n_nodes = 2**level
         local = cur - offset                       # valid iff in [0, n_nodes)
-        hw, hwy = _node_histograms(local, n_nodes, bin1h, w, wy)
+        hw, hwy = _node_histograms(local, n_nodes, bin1h, nb, w, wy)
         if mtry is not None and mtry < p:
             key, sub = jax.random.split(key)
             scores = jax.random.uniform(sub, (n_nodes, p))
@@ -236,49 +269,70 @@ def grow_level_tree(
 
 def grow_bestfirst_tree(
     xb, edges, y, w, *, n_splits: int, min_leaf: float = 10.0,
-    return_assign: bool = False,
+    return_assign: bool = False, bin1h=None,
 ):
     """gbm-style tree: exactly ``n_splits`` best-first splits (J+1 leaves).
 
-    Each step re-scores every current leaf and splits the one with the
-    largest SSE gain — gbm's interaction.depth semantics (the driver's
-    tree.complexity, V73:247/493).
+    Each step splits the current leaf with the largest SSE gain — gbm's
+    interaction.depth semantics (the driver's tree.complexity, V73:247/493).
+
+    The split loop is INCREMENTAL (the LightGBM recurrence, re-derived for
+    dense TPU algebra): a leaf's histogram — and therefore its best split —
+    never changes until the leaf itself splits, so each step only (1) takes
+    an argmax over the CACHED per-leaf best gains, (2) computes the left
+    child's and the parent's histograms in one 4-row masked matmul against
+    the shared bf16 one-hot, (3) derives the right child by subtraction,
+    and (4) scores just those two children.  The old implementation
+    re-histogrammed every one of the 2J+1 node slots each step — a
+    (2(2J+1), n) x (n, p*nb) matmul 25x this one — which made the split
+    step the pipeline's dominant cost (~1.3 ms x 65k steps on the bundled
+    workload).  The loop is a static Python unroll so the two child slots
+    of step k are compile-time rows (2k+1, 2k+2): cache updates are static
+    dynamic-update-slices, never traced-index scatters (TPU scatters
+    serialise, see CLAUDE.md).
 
     ``return_assign=True`` additionally returns every TRAINING row's node
     id (tracked for free during growth): boosting drivers predict on the
     training rows with one dense one-hot matvec instead of re-routing
-    through ``tree_predict``'s n_splits-iteration gather walk — TPU
-    gathers serialise, and that walk dominated the gbm.step CV wall.
+    through ``tree_predict``'s gather walk.  Pass ``bin1h``
+    (``flat_bin_onehot(xb, nb)``) to share the one-hot across the trees of
+    a boosting chain instead of rebuilding it per tree.
     """
     n, p = xb.shape
     nb = int(edges.shape[1]) + 1
     n_total = 2 * n_splits + 1
     dtype = y.dtype
-    bin1h = (xb[:, :, None] == jnp.arange(nb)[None, None, :]).astype(dtype)
+    if bin1h is None:
+        bin1h = flat_bin_onehot(xb, nb)
     wy = w * y
+    neg = jnp.asarray(-jnp.inf, dtype)
 
     iota_nodes = jnp.arange(n_total)
     p_iota = jnp.arange(p)
 
-    def step(carry, k):
-        # Every update is a dense masked `where` — no single-element
-        # scatters (`.at[q].set`) and no dynamic-index gathers (`gain[q]`,
-        # take_along_axis): those serialise on TPU and were measured at
-        # ~5.5 ms of fixed latency PER SPLIT regardless of tree size,
-        # dominating the whole gbm.step CV wall.
-        feat, thr_bin, internal, left, right, cur, var_gain = carry
-        hw, hwy = _node_histograms(cur, n_total, bin1h, w, wy)
-        gain, bfeat, bbin = _best_splits(hw, hwy, min_leaf)
-        # only actual leaves may split (nodes never made internal, incl. unallocated
-        # ids, hold no samples so their gain is -inf)
-        gain = jnp.where(internal > 0, -jnp.inf, gain)
-        q = jnp.argmax(gain)
-        gq = jnp.max(gain)
+    # root statistics + candidate (the only live leaf before step 0)
+    root = _hist_matmul(jnp.stack([w, wy]), bin1h).reshape(2, p, nb)
+    g0, f0, b0 = _best_splits(root[0][None], root[1][None], min_leaf)
+    node_gain = jnp.full((n_total,), neg, dtype).at[0].set(g0[0])
+    node_feat = jnp.zeros((n_total,), jnp.int32).at[0].set(f0[0])
+    node_bin = jnp.zeros((n_total,), jnp.int32).at[0].set(b0[0])
+
+    feat = jnp.zeros((n_total,), jnp.int32)
+    thr_bin = jnp.zeros((n_total,), jnp.int32)
+    internal = jnp.zeros((n_total,), dtype)
+    left = jnp.zeros((n_total,), jnp.int32)
+    right = jnp.zeros((n_total,), jnp.int32)
+    cur = jnp.zeros((n,), jnp.int32)
+    var_gain = jnp.zeros((p,), dtype)
+
+    for k in range(n_splits):
+        q = jnp.argmax(node_gain)               # which leaf splits (traced)
+        gq = jnp.max(node_gain)                 # == node_gain[q], gather-free
         ok = gq > 1e-9
         qsel = iota_nodes == q
-        bfq = jnp.sum(jnp.where(qsel, bfeat, 0), dtype=jnp.int32)
-        bbq = jnp.sum(jnp.where(qsel, bbin, 0), dtype=jnp.int32)
-        lid, rid = 2 * k + 1, 2 * k + 2
+        bfq = jnp.sum(jnp.where(qsel, node_feat, 0), dtype=jnp.int32)
+        bbq = jnp.sum(jnp.where(qsel, node_bin, 0), dtype=jnp.int32)
+        lid, rid = 2 * k + 1, 2 * k + 2         # static child slots
         upd = qsel & ok
         feat = jnp.where(upd, bfq, feat)
         thr_bin = jnp.where(upd, bbq, thr_bin)
@@ -289,22 +343,24 @@ def grow_bestfirst_tree(
         sample_bin = jnp.sum(
             jnp.where(p_iota[None, :] == bfq, xb, 0), axis=1, dtype=jnp.int32
         )
-        go = ok & (cur == q)
-        cur = jnp.where(go, jnp.where(sample_bin <= bbq, lid, rid), cur)
-        return (feat, thr_bin, internal, left, right, cur, var_gain), None
+        in_parent = ok & (cur == q)
+        go_left = in_parent & (sample_bin <= bbq)
+        lm = go_left.astype(dtype)
+        pm = in_parent.astype(dtype)
+        # left + parent histograms in ONE 4-row matmul; right by subtraction
+        h4 = _hist_matmul(
+            jnp.stack([w * lm, wy * lm, w * pm, wy * pm]), bin1h
+        ).reshape(4, p, nb)
+        cw = jnp.stack([h4[0], h4[2] - h4[0]])  # (2, p, nb) child w sums
+        cwy = jnp.stack([h4[1], h4[3] - h4[1]])
+        cg, cf, cb = _best_splits(cw, cwy, min_leaf)
+        node_gain = jnp.where(qsel, neg, node_gain)  # parent is now internal
+        node_gain = node_gain.at[lid].set(jnp.where(ok, cg[0], neg))
+        node_gain = node_gain.at[rid].set(jnp.where(ok, cg[1], neg))
+        node_feat = node_feat.at[lid].set(cf[0]).at[rid].set(cf[1])
+        node_bin = node_bin.at[lid].set(cb[0]).at[rid].set(cb[1])
+        cur = jnp.where(in_parent, jnp.where(sample_bin <= bbq, lid, rid), cur)
 
-    init = (
-        jnp.zeros((n_total,), jnp.int32),
-        jnp.zeros((n_total,), jnp.int32),
-        jnp.zeros((n_total,), dtype),
-        jnp.zeros((n_total,), jnp.int32),
-        jnp.zeros((n_total,), jnp.int32),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((p,), dtype),
-    )
-    (feat, thr_bin, internal, left, right, cur, var_gain), _ = jax.lax.scan(
-        step, init, jnp.arange(n_splits, dtype=jnp.int32)
-    )
     value = _leaf_values(cur, n_total, w, wy)
     thr = _edges_lookup(edges, feat, thr_bin)
     tree = Tree(

@@ -6,6 +6,7 @@ from .tps import (
     gcv_curve,
     tps_factor,
     tps_fit,
+    tps_fit_auto,
     tps_predict,
     tps_predict_grid,
     tps_solve,
@@ -20,6 +21,7 @@ __all__ = [
     "gcv_curve",
     "tps_factor",
     "tps_fit",
+    "tps_fit_auto",
     "tps_predict",
     "tps_predict_grid",
     "tps_solve",

@@ -45,6 +45,7 @@ __all__ = [
     "tps_factor",
     "tps_solve",
     "tps_fit",
+    "tps_fit_auto",
     "tps_predict",
     "tps_predict_grid",
     "gcv_curve",
@@ -288,6 +289,38 @@ def _tps_solve_impl(factor, y, lam, ngrid, refine):
 def tps_fit(coords, y, mask=None, lam=None, ngrid: int = 200, refine: int = 40) -> TPSModel:
     """Convenience: factor + solve (the ``fields::Tps(xy, y)`` call shape)."""
     return tps_solve(tps_factor(coords, mask), y, lam=lam, ngrid=ngrid, refine=refine)
+
+
+# XLA's QDWH eigh workspace exceeds one v5e chip's 16 GB HBM past ~9k knots
+# (measured: n=10000 wants 17.3 GB); above this the factorisation routes to
+# the f64 host path.  O(n^3) dense TPS is host-viable well past this point —
+# larger problems should use ops/nystrom.py regardless.
+MAX_DEVICE_EIGH_KNOTS = 8192
+
+
+def tps_fit_auto(coords, y, lam=None, ngrid: int = 200, refine: int = 40,
+                 max_device_knots: int | None = None) -> TPSModel:
+    """``tps_fit`` with the production big-n fallback: when the knot count
+    would blow the device eigh's HBM workspace (BASELINE config 3's
+    10k x 19 shape on one chip), factorise on the host in f64
+    (ops/host_tps.py) and keep the heavy prediction streaming on device —
+    the split the module docstring of host_tps.py documents.  Single- and
+    multi-response; no mask support (dense rows only)."""
+    limit = max_device_knots
+    if limit is None:
+        import jax as _jax
+
+        limit = (
+            MAX_DEVICE_EIGH_KNOTS
+            if _jax.default_backend() != "cpu"
+            else 1 << 62
+        )
+    n = coords.shape[0]
+    if n <= limit:
+        return tps_fit(coords, y, lam=lam, ngrid=ngrid, refine=refine)
+    from .host_tps import tps_fit_host
+
+    return tps_fit_host(coords, y, lam=lam, ngrid=ngrid, refine=refine)
 
 
 def _predict_block(model: TPSModel, pts_scaled):

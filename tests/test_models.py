@@ -561,3 +561,72 @@ def test_nn_maxit_plateaus_by_default(rng):
     r_mid, r_late = heldout_r2(1500), heldout_r2(4000)
     assert r_mid > 0.98 and r_late > 0.98
     assert abs(r_late - r_mid) < 3e-3
+
+
+def test_bestfirst_grower_matches_numpy_reference(rng):
+    """The incremental (gain-cached, sibling-subtraction) best-first grower
+    must reproduce an independent greedy reference: J splits, each taking
+    the leaf/feature/bin with the largest SSE decrease subject to min_leaf,
+    leaf values = weighted means."""
+    n, p, nb, n_splits, min_leaf = 120, 3, 8, 5, 4.0
+    x = rng.uniform(0, 1, (n, p))
+    y = 2 * x[:, 0] - np.sin(5 * x[:, 1]) + 0.1 * rng.standard_normal(n)
+    w = (rng.uniform(size=n) < 0.85).astype(np.float64)
+    edges = np.quantile(x, np.linspace(0, 1, nb + 1)[1:-1], axis=0).T  # (p, nb-1)
+    xb = np.sum(x[:, :, None] > edges[None], axis=2)
+
+    # --- independent reference -------------------------------------------
+    def best_split(rows):
+        best = (-np.inf, 0, 0)
+        for f in range(p):
+            for b in range(nb - 1):
+                lm = rows & (xb[:, f] <= b)
+                rm = rows & ~(xb[:, f] <= b)
+                lw, rw = w[lm].sum(), w[rm].sum()
+                if lw < min_leaf or rw < min_leaf:
+                    continue
+                tw = lw + rw
+                lwy, rwy = (w * y)[lm].sum(), (w * y)[rm].sum()
+                gain = lwy**2 / lw + rwy**2 / rw - (lwy + rwy) ** 2 / tw
+                if gain > best[0]:
+                    best = (gain, f, b)
+        return best
+
+    leaves = {0: w > 0}          # node id -> row mask (active rows only)
+    cand = {0: best_split(leaves[0])}
+    ref_splits = []              # (node, feat, bin)
+    for k in range(n_splits):
+        q = max(cand, key=lambda i: cand[i][0])
+        gain, f, b = cand[q]
+        if gain <= 1e-9:
+            break
+        rows = leaves.pop(q)
+        del cand[q]
+        lid, rid = 2 * k + 1, 2 * k + 2
+        leaves[lid] = rows & (xb[:, f] <= b)
+        leaves[rid] = rows & ~(xb[:, f] <= b)
+        cand[lid], cand[rid] = best_split(leaves[lid]), best_split(leaves[rid])
+        ref_splits.append((q, f, b))
+
+    tree, cur = trees.grow_bestfirst_tree(
+        jnp.asarray(xb, jnp.int32), jnp.asarray(edges), jnp.asarray(y),
+        jnp.asarray(w), n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
+    )
+    feat, internal = np.asarray(tree.feat), np.asarray(tree.internal)
+    thr_bin_got = [
+        int(np.searchsorted(edges[feat[q]], np.asarray(tree.thr)[q], side="left"))
+        for q in range(len(feat))
+    ]
+    for k, (q, f, b) in enumerate(ref_splits):
+        assert internal[q] > 0, f"step {k}: node {q} should have split"
+        assert feat[q] == f and thr_bin_got[q] == b, (
+            f"step {k}: node {q} split ({feat[q]}, {thr_bin_got[q]}) != ref ({f}, {b})"
+        )
+    # leaf values: weighted means over final assignments
+    cur = np.asarray(cur)
+    for q, rows in leaves.items():
+        if w[rows].sum() > 0:
+            want = (w * y)[rows].sum() / w[rows].sum()
+            got = float(np.asarray(tree.value)[q])
+            assert got == pytest.approx(want, rel=1e-4)
+            np.testing.assert_array_equal(np.unique(cur[rows]), [q])
