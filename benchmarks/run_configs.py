@@ -235,6 +235,45 @@ def config4_pipeline(jax, jnp):
     }
 
 
+def forest_predict_1e8(jax, jnp):
+    """Tree-ensemble raster prediction at config-4 scale (VERDICT r2 #10):
+    a final-model-sized BRT (2000 trees, J+1 leaves) streamed over 1e8
+    cells through the jitted bin-interval leaf kernel — the path mltps's
+    part-2 terra::predict equivalent (V73:468/497) takes on device."""
+    from machisplin_tpu.models import brt
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+
+    rng = np.random.default_rng(0)
+    n, p, n_trees, cells = 2000, 5, 2000, int(1e8)
+    x = rng.standard_normal((n, p)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.5 * x[:, 1] * x[:, 2] + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    state = brt.fit(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
+                    n_trees=n_trees, n_splits=3, lr=0.05)
+    w = state.tree_active * state.lr
+    t0 = time.perf_counter()
+    tabs = build_leaf_bins(state.trees, n_feat=p)
+    t_walk = time.perf_counter() - t0
+
+    panel = 4_194_304                    # cells per jitted panel dispatch
+    xq = jnp.asarray(rng.standard_normal((panel, p)).astype(np.float32))
+    fn = jax.jit(lambda q: forest_predict_bins(state.trees, q, w, tables=tabs))
+    _force(fn(xq))                       # compile + settle
+    t0 = time.perf_counter()
+    total, checksum = 0, 0.0
+    while total < cells:
+        checksum += _force(fn(xq))       # fresh dispatch per panel (streaming)
+        total += panel
+    dt = time.perf_counter() - t0
+    return {
+        "config": "forest_predict_1e8",
+        "shape": f"{n_trees}-tree BRT x {total/1e6:.0f} Mcells, {p} features",
+        "table_walk_s": round(t_walk, 2),
+        "predict_s": round(dt, 2),
+        "mcells_per_s": round(total / dt / 1e6, 1),
+        "checksum": checksum,
+    }
+
+
 def config5(jax, jnp):
     from machisplin_tpu.grid import GridSpec
     from machisplin_tpu.ops.nystrom import nystrom_tps_fit
@@ -300,7 +339,13 @@ def main():
         with open(out) as f:
             results = json.load(f)
     results.update({"backend": jax.default_backend(), "device_count": jax.device_count()})
-    runs = {3: config3, 4: config4, "4_pipeline": config4_pipeline, 5: config5}
+    runs = {
+        3: config3,
+        4: config4,
+        "4_pipeline": config4_pipeline,
+        "forest": forest_predict_1e8,
+        5: config5,
+    }
     for num, fn in runs.items():
         if args.only and str(num) != str(args.only):
             continue

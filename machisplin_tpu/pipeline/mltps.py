@@ -110,6 +110,11 @@ def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256, me
     c, h, w = rast_stack.data.shape
     rows = []
     host = getattr(predict_fn, "prefers_host", False)
+    # Pallas kernels (the forest predictors' device path) cannot be
+    # auto-partitioned by GSPMD — those fns stream panels through a plain
+    # single-chip jit instead of the sharded one (mesh-sharding them needs
+    # an explicit shard_map wrapper; ROADMAP)
+    no_shard = getattr(predict_fn, "no_shard", False)
 
     def masked(x):
         ok = jnp.all(jnp.isfinite(x), axis=1)
@@ -119,7 +124,7 @@ def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256, me
     pad_to = 1
     if host:
         fn = masked
-    elif mesh is not None:
+    elif mesh is not None and not no_shard:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         s = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -212,14 +217,20 @@ def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
         imp = rf.importance(state, x, y, names)
         tabs = _forest_tables(state.trees, np.asarray(x).shape[1])
         fn = lambda q: rf.predict(state, q, tables=tabs)
-        fn.prefers_host = True
+        # with device tables the bin-interval kernel is fully jittable, so
+        # raster panels stream through ONE compiled program (the TPS-path
+        # treatment); without them (CPU backend) blocks stay eager so the
+        # C++ host predictor can take large batches
+        fn.prefers_host = tabs is None
+        fn.no_shard = True
         return fn, imp
     if letter == "b":
         res = gbm_step.fit(key, x, y, **config.final_brt)
         imp = gbm_step.importance(res, names)
         tabs = _forest_tables(res.final.trees, np.asarray(x).shape[1])
         fn = lambda q: gbm_step.predict(res, q, tables=tabs)
-        fn.prefers_host = True
+        fn.prefers_host = tabs is None
+        fn.no_shard = True
         return fn, imp
     raise ValueError(letter)
 
