@@ -111,6 +111,69 @@ def cv_lambda_sweep(coords, resid, y, lams, k=5, seed=0):
     return out
 
 
+def cv_tiled_vs_single(coords, resid, y, k=5, seed=0, nt=3, halo=0.2):
+    """Experiment 5 — is the SINGLE-TILE layout the limiter?  Station-holdout
+    CV of the TPS correction fitted (a) as one global GCV spline and (b) as
+    an nt x nt tile mosaic with +-halo fit extents and PER-TILE GCV lambda
+    (the locally-adaptive smoothing a tiled layout buys, mltps part 3's
+    geometry, V73:650-681).  If local lambda adaptation helped, (b) > (a)."""
+    import jax.numpy as jnp
+
+    from machisplin_tpu.ops.host_tps import tps_fit_host
+    from machisplin_tpu.ops.tps import tps_predict
+
+    rng = np.random.default_rng(seed)
+    n = len(resid)
+    fold = rng.permutation(n) % k
+    ens = y - resid
+    lo, hi = coords.min(0), coords.max(0)
+    span = hi - lo
+    edges_x = lo[0] + span[0] * np.linspace(0, 1, nt + 1)
+    edges_y = lo[1] + span[1] * np.linspace(0, 1, nt + 1)
+
+    sse_s, sse_t, sse0 = 0.0, 0.0, 0.0
+    lam_range = []
+    for f in range(k):
+        tr, te = fold != f, fold == f
+        # (a) single global spline, GCV lambda
+        m_g = tps_fit_host(coords[tr], np.asarray(resid[tr], np.float64))
+        corr_g = np.asarray(tps_predict(m_g, jnp.asarray(coords[te], jnp.float32)))
+        sse_s += float(np.sum((y[te] - ens[te] - corr_g) ** 2))
+        sse0 += float(np.sum((y[te] - y.mean()) ** 2))
+        # (b) per-tile GCV splines with halo fit extents
+        corr_t = np.zeros(int(te.sum()))
+        cte = coords[te]
+        for i in range(nt):
+            for j in range(nt):
+                x0, x1 = edges_x[i], edges_x[i + 1]
+                y0, y1 = edges_y[j], edges_y[j + 1]
+                hx, hy = halo * (x1 - x0), halo * (y1 - y0)
+                in_fit = (
+                    (coords[:, 0] >= x0 - hx) & (coords[:, 0] <= x1 + hx)
+                    & (coords[:, 1] >= y0 - hy) & (coords[:, 1] <= y1 + hy)
+                    & tr
+                )
+                in_core = (
+                    (cte[:, 0] >= x0) & (cte[:, 0] < x1 + (i == nt - 1))
+                    & (cte[:, 1] >= y0) & (cte[:, 1] < y1 + (j == nt - 1))
+                )
+                if int(in_fit.sum()) < 10:   # the <10-point zero-tile guard
+                    continue
+                m_l = tps_fit_host(coords[in_fit], np.asarray(resid[in_fit], np.float64))
+                lam_range.append(float(np.asarray(m_l.lam)))
+                if in_core.any():
+                    corr_t[in_core] = np.asarray(
+                        tps_predict(m_l, jnp.asarray(cte[in_core], jnp.float32))
+                    )
+        sse_t += float(np.sum((y[te] - ens[te] - corr_t) ** 2))
+    return {
+        "single_tile_cv_r2": 1.0 - sse_s / sse0,
+        "tiled_cv_r2": 1.0 - sse_t / sse0,
+        "tiles": f"{nt}x{nt}, {halo:.0%} halo, per-tile GCV",
+        "per_tile_lambda_range": [min(lam_range), max(lam_range)] if lam_range else None,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -122,6 +185,9 @@ def main():
     from machisplin_tpu.ops.tps import tps_fit, tps_predict_grid
 
     report = {}
+    if "--exp5-only" in sys.argv and os.path.exists(OUT):
+        with open(OUT) as f:
+            report = json.load(f)
     dat = load_sampling()
     covars = synthetic_covariates(downsample=24)
     cfg = reduced_config(mt, CVConfig)
@@ -139,6 +205,18 @@ def main():
             "r2_ensemble": float(r.summary["r2 ensemble:"]),
             "residual_sd_fraction": float(np.std(resid) / np.std(y)),
         }
+
+    # ---- experiment 5: tiled (locally-adaptive lambda) vs single tile -----
+    report["tiled_vs_single"] = {
+        name: cv_tiled_vs_single(coords, resid, y)
+        for name, (coords, resid, y) in fields.items()
+    }
+    if "--exp5-only" in sys.argv:
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report["tiled_vs_single"], indent=1))
+        print("wrote", OUT)
+        return
 
     # ---- experiment 1: f32 path vs f64 host twin --------------------------
     report["gcv_paths"] = {}
