@@ -1,4 +1,4 @@
-"""Host (NumPy, float64) TPS factorisation — same math as ops/tps.py.
+"""Host (NumPy/LAPACK, float64) TPS factorisation — same math as ops/tps.py.
 
 Why it exists: the factorisation is O(n^3) on a few hundred to a few thousand
 knots — microscopic next to the knots-by-cells prediction — but QR+eigh
@@ -6,6 +6,15 @@ compile slowly through TPU toolchains.  The production split is therefore:
 factorise on the host in f64 (this module), stream the heavy prediction
 matvec on the TPU (ops/pallas_tps.py).  Results match ops/tps.py to solver
 precision; tests assert that.
+
+Large-n design (BASELINE config 3, 10k x 19 on one core): the null-space
+projection never materialises Q.  The complete (n, n) orthogonal factor of
+the (n, 3) polynomial basis is only ever APPLIED — dormqr with the three
+Householder reflectors, O(n^2) — so the two dense O(n^3) projection matmuls
+(Q2' K Q2, Q2 @ U) of the naive formulation disappear and the eigh is the
+single cubic step.  Pairwise distances accumulate per-dimension in place,
+bounding peak memory at ~3 (n, n) f64 buffers instead of the (n, n, 2)
+broadcast intermediate.
 """
 from __future__ import annotations
 
@@ -15,10 +24,51 @@ from .tps import TPSModel
 
 
 def _phi_np(r2):
-    out = np.zeros_like(r2)
-    pos = r2 > 0
-    out[pos] = 0.5 * r2[pos] * np.log(r2[pos])
+    """phi(r) = 0.5 r^2 log r^2 elementwise, phi(0) = 0, without fancy
+    indexing (mask gathers copy the whole (n, n) matrix twice at 10k)."""
+    with np.errstate(divide="ignore"):
+        lg = np.log(np.maximum(r2, np.finfo(np.float64).tiny))
+    out = 0.5 * r2 * lg
+    out[r2 <= 0] = 0.0
     return out
+
+
+def _pairwise_r2_np(x):
+    """Squared pairwise distances, per-dimension in-place accumulation."""
+    d2 = np.subtract.outer(x[:, 0], x[:, 0])
+    np.multiply(d2, d2, out=d2)
+    for j in range(1, x.shape[1]):
+        dj = np.subtract.outer(x[:, j], x[:, j])
+        np.multiply(dj, dj, out=dj)
+        d2 += dj
+    return d2
+
+
+class _ImplicitQ:
+    """The complete orthogonal factor of a thin (n, k) basis, held as its
+    Householder reflectors and applied via LAPACK dormqr (O(k n) per
+    column) — never materialised."""
+
+    def __init__(self, t):
+        from scipy.linalg import get_lapack_funcs
+
+        t = np.asfortranarray(np.asarray(t, np.float64))
+        geqrf, ormqr = get_lapack_funcs(("geqrf", "ormqr"), (t,))
+        self._ormqr = ormqr
+        self.qr_raw, self.tau, _, info = geqrf(t)
+        assert info == 0, f"geqrf failed: {info}"
+        self.k = t.shape[1]
+        self.r = np.triu(self.qr_raw[: self.k, : self.k])
+
+    def apply(self, c, side="L", trans="N"):
+        """Q @ c ('L','N'), Q' @ c ('L','T'), c @ Q ('R','N'), ..."""
+        c = np.asfortranarray(np.asarray(c, np.float64))
+        _, work, info = self._ormqr(side, trans, self.qr_raw, self.tau, c, lwork=-1)
+        out, _, info = self._ormqr(
+            side, trans, self.qr_raw, self.tau, c, lwork=int(work[0])
+        )
+        assert info == 0, f"ormqr failed: {info}"
+        return out
 
 
 def tps_fit_host(coords, y, lam=None, ngrid: int = 200, refine: int = 40) -> TPSModel:
@@ -37,16 +87,18 @@ def tps_fit_host(coords, y, lam=None, ngrid: int = 200, refine: int = 40) -> TPS
     crange = np.where(coords.max(axis=0) > cmin, coords.max(axis=0) - cmin, 1.0)
     x = (coords - cmin) / crange
 
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
-    k = _phi_np(d2)
+    k = _phi_np(_pairwise_r2_np(x))
     t = np.concatenate([np.ones((n, 1)), x], axis=1)
-    q, r = np.linalg.qr(t, mode="complete")
-    q1, q2 = q[:, :3], q[:, 3:]
-    m = q2.T @ k @ q2
+    q = _ImplicitQ(t)
+    # Q' K Q by two reflector applications (O(n^2) each, k symmetric);
+    # row/col blocks of the result replace every use of Q1/Q2 below.
+    qkq = q.apply(q.apply(k, "L", "T"), "R", "N")
+    del k
+    m = qkq[3:, 3:]
     evals, u = np.linalg.eigh(0.5 * (m + m.T))
     evals = np.maximum(evals, 0.0)
-    q2u = q2 @ u
-    u_coef = (q2u.T @ ycols)                       # (n-3, R)
+    qty = q.apply(ycols, "L", "T")                 # (n, R): [Q1'y; Q2'y]
+    u_coef = u.T @ qty[3:]                         # (n-3, R)
 
     if lam is None:
         dmax = max(evals.max(), 1.0)
@@ -77,10 +129,13 @@ def tps_fit_host(coords, y, lam=None, ngrid: int = 200, refine: int = 40) -> TPS
         rho = np.broadcast_to(np.asarray(lam, np.float64) * n, (n_resp,)).copy()
 
     gamma = u_coef / (evals[:, None] + rho[None, :])
-    c = q2u @ gamma
-    bmat = q1.T @ (k @ q2u)
-    rhs = q1.T @ ycols - bmat @ gamma
-    d = np.linalg.solve(r[:3, :3], rhs)
+    ug = u @ gamma                                 # (n-3, R) eigen -> Q2 basis
+    pad = np.zeros((n, n_resp))
+    pad[3:] = ug
+    c = q.apply(pad, "L", "N")                     # Q2 @ (U gamma)
+    # bmat @ gamma = (Q1' K Q2 U) gamma = qkq[:3, 3:] @ ug
+    rhs = qty[:3] - qkq[:3, 3:] @ ug
+    d = np.linalg.solve(q.r, rhs)
     residuals = rho[None, :] * c
     fitted = ycols - residuals
     sh = rho[None, :] / (evals[:, None] + rho[None, :])
