@@ -9,7 +9,12 @@ predicted over the 3264 x 2476 (~8.08 M cell) covariate grid geometry
 * ``value``            — solve + predict Mcells/s: the GCV factorisation
                          (device when it wins, host otherwise — whichever the
                          production pipeline would use) plus the Pallas fused
-                         distance/phi/matvec grid kernel;
+                         distance/phi/matvec grid kernel.  Slope-timed (k=1
+                         vs k=5 full applications, one readback) so the axon
+                         tunnel's fixed ~25 ms scalar-readback latency — an
+                         artifact of this remote setup, not of the TPU —
+                         cancels; ``value_incl_readback`` keeps the
+                         readback-inclusive single-shot number;
 * ``kernel_mcells_s``  — kernel-only grid prediction (model pre-solved), the
                          pure Pallas number;
 * ``transcendentals_per_s`` + ``kernel_bound`` — roofline context: the kernel
@@ -99,15 +104,28 @@ def main():
     if dt_host < dt_dev:
         use_device_solve = False
 
-    def run_solve_predict():
-        model = solve_dev(coords_d, ys_d) if use_device_solve else tps_fit_host(coords, ys)
-        surf = tps_predict_grid(model, grid, use_pallas=on_tpu)
-        # scalar readback forces completion — block_until_ready is not
-        # reliable on the axon tunnel backend
-        return float(jnp.nansum(surf))
+    def run_solve_predict(k=1):
+        # k independent solve+predict applications, ONE scalar readback at
+        # the end (completion forcing — block_until_ready is not reliable
+        # on the axon tunnel backend).  The k=1 vs k=5 slope cancels the
+        # tunnel's fixed ~25 ms readback latency, exactly as the
+        # kernel-only timing below does; every solve and every grid
+        # prediction is real repeated work.
+        s = None
+        for _ in range(k):
+            model = (
+                solve_dev(coords_d, ys_d) if use_device_solve
+                else tps_fit_host(coords, ys)
+            )
+            t = jnp.nansum(tps_predict_grid(model, grid, use_pallas=on_tpu))
+            s = t if s is None else s + t
+        return float(s)
 
-    dt_sp, _ = _time_best(run_solve_predict)
+    dt_sp1, _ = _time_best(run_solve_predict)
+    dt_sp5, _ = _time_best(lambda: run_solve_predict(5))
+    dt_sp = max((dt_sp5 - dt_sp1) / 4, 1e-9)
     mcells = grid.ncell / dt_sp / 1e6
+    mcells_with_readback = grid.ncell / dt_sp1 / 1e6
 
     # ---- kernel-only: model fixed, prediction alone --------------------
     model = solve_dev(coords_d, ys_d) if use_device_solve else tps_fit_host(coords, ys)
@@ -159,6 +177,7 @@ def main():
         "value": round(mcells, 3),
         "unit": "Mcells/s",
         "vs_baseline": round(mcells / 0.05, 1),
+        "value_incl_readback": round(mcells_with_readback, 3),
         "kernel_mcells_s": round(kernel_mcells, 3),
         "transcendentals_per_s": f"{transc_per_s:.3g}",
         "log_peak_per_s": f"{log_peak_per_s:.3g}",

@@ -11,8 +11,11 @@ On CPU (quick):   MACHISPLIN_TEST_REEXEC=1 JAX_PLATFORMS=cpu \
                   PALLAS_AXON_POOL_IPS= python benchmarks/cv_phase_bench.py --small
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -145,17 +145,24 @@ def config4(jax, jnp):
     t0 = time.perf_counter()
     model, lam = solve()
     t_cold = time.perf_counter() - t0   # includes one-time XLA compiles
-    t0 = time.perf_counter()
-    model, lam = solve()
-    t_solve = time.perf_counter() - t0  # warm: the real solver cost
+    t_solve = float("inf")              # warm best-of-2 (tunnel noise)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        model, lam = solve()
+        t_solve = min(t_solve, time.perf_counter() - t0)
     panel = 1536
-    t0 = time.perf_counter()
-    total, checksum = 0, 0.0
-    for r0 in range(0, grid.nrows, panel):
-        sub = grid.subgrid(r0, min(r0 + panel, grid.nrows), 0, grid.ncols)
-        checksum += _force(tps_predict_grid(model, sub))
-        total += sub.ncell
-    dt = time.perf_counter() - t0
+
+    def predict_pass():
+        t0 = time.perf_counter()
+        total, checksum = 0, 0.0
+        for r0 in range(0, grid.nrows, panel):
+            sub = grid.subgrid(r0, min(r0 + panel, grid.nrows), 0, grid.ncols)
+            checksum += _force(tps_predict_grid(model, sub))
+            total += sub.ncell
+        return time.perf_counter() - t0, total, checksum
+
+    # best of 3: the axon pool's tunnel latency fluctuates run to run
+    dt, total, checksum = min((predict_pass() for _ in range(3)), key=lambda t: t[0])
     return {
         "config": 4,
         "shape": f"{stations} stations -> {m} landmarks, {total/1e6:.0f} Mcells streamed",
