@@ -1,13 +1,23 @@
-"""README Example 3 equivalent: split a large landscape into tiles, run the
-pipeline per tile, feather-merge the results (README.md:157-215:
-tiles.create -> mltps x T -> tiles.id -> tiles.merge)."""
+"""README Example 2 equivalent: the large-landscape tiled workflow.
+
+Mirrors the reference's tiles.create -> mltps per tile -> tiles.merge recipe
+(reference README.md:157-215, V73:1165-1548) on the bundled 813-station data:
+split the covariate stack into out_nrow x out_ncol overlapping tiles, run the
+full six-algorithm pipeline independently per tile (embarrassingly parallel —
+on a pod, give each tile's mltps its own mesh slice), then feather-blend the
+per-tile finals into the full extent.
+
+Run (CPU, a few minutes):
+  MACHISPLIN_TEST_REEXEC=1 JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    python examples/tiled_landscape.py --downsample 24 --fast
+Run (TPU, full grid): python examples/tiled_landscape.py --downsample 1
+"""
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import time
 
 import numpy as np
 
@@ -18,44 +28,63 @@ from machisplin_tpu.ensemble import CVConfig
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--downsample", type=int, default=16)
+    ap.add_argument("--downsample", type=int, default=24)
     ap.add_argument("--ncol", type=int, default=2)
     ap.add_argument("--nrow", type=int, default=2)
-    ap.add_argument("--feather", type=int, default=20)
+    ap.add_argument("--feather-d", type=int, default=50)
+    ap.add_argument("--fast", action="store_true", help="shrunken CV settings")
+    ap.add_argument("--out", default=".")
     args = ap.parse_args()
+
+    import jax
 
     dat = load_sampling()
     stack = synthetic_covariates(args.downsample)
-    tiles = mt.tiles_create(stack, dat, out_ncol=args.ncol, out_nrow=args.nrow,
-                            feather_d=args.feather)
-    from machisplin_tpu.pipeline import tiles_id
-    for info in tiles_id(tiles):
-        print(f"tile {info['id']}: center {info['center']}, {len(tiles.dat[info['id']-1])} stations")
+    cfg = mt.MLTPSConfig()
+    if args.fast:
+        cfg = mt.MLTPSConfig(
+            cv=CVConfig(
+                n_folds=4,
+                brt=dict(tree_complexity=4, learning_rate=0.1, step_size=20, max_trees=150),
+                rf=dict(ntree=25, tree_chunk=25),
+                nn=dict(hidden=8, maxit=150),
+                svm=dict(epochs=80),
+            ),
+            final_brt=dict(tree_complexity=4, learning_rate=0.05, step_size=20, max_trees=300),
+            final_rf=dict(ntree=25, tree_chunk=25),
+            final_nn=dict(hidden=8, maxit=150),
+            svm_importance_sample=40,
+        )
 
-    cfg = mt.MLTPSConfig(
-        cv=CVConfig(
-            n_folds=5,
-            brt=dict(tree_complexity=5, learning_rate=0.05, step_size=25, max_trees=300),
-            rf=dict(ntree=60, tree_chunk=20),
-            nn=dict(hidden=10, maxit=150),
-        ),
-        final_brt=dict(tree_complexity=5, learning_rate=0.05, step_size=25, max_trees=300),
-        final_rf=dict(ntree=60, tree_chunk=20),
-        final_nn=dict(hidden=10, maxit=150),
+    # 1. tiles.create equivalent (V73:1165-1256; Mydata global bug fixed)
+    tiles = mt.tiles_create(
+        stack, dat, out_ncol=args.ncol, out_nrow=args.nrow, feather_d=args.feather_d
     )
-    finals = []
-    for i, (d, r) in enumerate(zip(tiles.dat, tiles.rast)):
-        t0 = time.time()
-        out = mt.mltps(d, r, tps=True, config=cfg)
-        print(f"tile {i + 1}: {out[0].summary} ({time.time() - t0:.0f}s)")
-        finals.append(out[0].final)
+    print(f"{len(tiles.rast)} tiles; stations per tile:", [len(d) for d in tiles.dat])
 
-    merged = mt.tiles_merge(finals, stack.grid, in_ncol=args.ncol, in_nrow=args.nrow)
-    mt.write_geotiff([type("R", (), {
-        "name": "bio_1_merged", "final": merged,
-        "summary": {"layer": "bio_1_merged"}, "n_layers": 1,
-    })()], ".")
-    print("merged surface:", merged)
+    # 2. tiles.id equivalent — tile-ordering figure (V73:1289-1292)
+    fig_path = os.path.join(args.out, "tile_ids.png")
+    mt.tiles_id(tiles, save_path=fig_path)
+    print("wrote:", fig_path)
+
+    # 3. full pipeline per tile (independent => parallelisable across pods)
+    finals = []
+    for i, (rt, dt) in enumerate(zip(tiles.rast, tiles.dat)):
+        t0 = time.time()
+        out = mt.mltps(dt, rt, tps=True, config=cfg, key=jax.random.PRNGKey(10 + i))
+        finals.append(out[0].final)
+        s = out[0].summary
+        print(f"tile {i+1}: kept {s['best model(s):']} "
+              f"r2 ensemble {s['r2 ensemble:']:.4f} "
+              f"r2 final {s.get('r2 final:', float('nan')):.4f} "
+              f"({time.time()-t0:.1f}s)")
+
+    # 4. tiles.merge equivalent — feathered mosaic to the full extent
+    merged = mt.tiles_merge(
+        finals, stack.grid, in_ncol=args.ncol, in_nrow=args.nrow
+    )
+    print("merged surface:", merged.data.shape,
+          "finite fraction %.3f" % float(np.isfinite(np.asarray(merged.data)).mean()))
 
 
 if __name__ == "__main__":

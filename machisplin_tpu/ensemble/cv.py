@@ -44,6 +44,7 @@ class CVConfig:
         )
     )
     rf: dict = dataclasses.field(default_factory=lambda: dict(ntree=500))
+    rf_group: int = 1          # single-device (response x fold) RF vmap width
     nn: dict = dataclasses.field(default_factory=lambda: dict(hidden=10, maxit=10000))
     mars: dict = dataclasses.field(default_factory=dict)
     svm: dict = dataclasses.field(default_factory=dict)
@@ -162,30 +163,31 @@ def run_cv(
         rf_one = lambda kk, yy, w: rf.predict(
             rf.fit(kk, x, yy, sample_weight=w, **config.rf), x
         )
-        if mesh is None:
-            fit_r = jax.jit(rf_one)
-            preds["r"] = jnp.stack(
-                [fit_r(keys_r[i], flat_y[i], flat_w[i]) for i in range(n_resp * k)]
-            )
-        else:
-            # fold models shard across the mesh in device-count groups: each
-            # device trains ONE forest at a time (peak memory matches the
-            # serial loop) while the group runs devices-wide in parallel
-            fit_rv = batched_jit(jax.vmap(rf_one), 3)
-            n_dev = int(np.prod(mesh.devices.shape))
-            keys_arr = jnp.stack(keys_r)
-            rows = []
-            for s in range(0, n_resp * k, n_dev):
-                part = [a[s : s + n_dev] for a in (keys_arr, flat_y, flat_w)]
-                mm = part[0].shape[0]
-                rem = (-mm) % n_dev
-                if rem:
-                    part = [
-                        jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)])
-                        for a in part
-                    ]
-                rows.append(fit_rv(*part)[:mm])
-            preds["r"] = jnp.concatenate(rows, axis=0)
+        # fold models run in vmapped groups: on a mesh each device trains
+        # ONE forest at a time (group = device count, peak memory matches
+        # the serial loop).  Single-device groups stay at width 1: a
+        # 5-wide vmapped grower was MEASURED SLOWER on chip (12.7 s vs
+        # 7.8 s for the 20 (response x fold) forests — the batched
+        # histogram matmuls tile worse than 20 serial dispatches), so the
+        # knob exists but defaults to the serial layout.
+        group = (
+            int(np.prod(mesh.devices.shape)) if mesh is not None
+            else min(config.rf_group, n_resp * k)
+        )
+        fit_rv = batched_jit(jax.vmap(rf_one), 3)
+        keys_arr = jnp.stack(keys_r)
+        rows = []
+        for s in range(0, n_resp * k, group):
+            part = [a[s : s + group] for a in (keys_arr, flat_y, flat_w)]
+            mm = part[0].shape[0]
+            rem = (-mm) % group
+            if rem:
+                part = [
+                    jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)])
+                    for a in part
+                ]
+            rows.append(fit_rv(*part)[:mm])
+        preds["r"] = jnp.concatenate(rows, axis=0)
     if "b" in algorithms:
         # ALL (response, outer-fold) gbm.step runs batched into one call:
         # each pair is just another boosting chain with its own y column;

@@ -83,6 +83,16 @@ def fit(
     opt = optax.lbfgs(memory_size=20)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
+    # Why a FIXED-length scan and not nnet's reltol convergence stop: the
+    # zoom linesearch yields exactly-zero updates once converged, so the
+    # scan's tail iterations are no-ops and the result is bit-identical to
+    # a reltol=1e-8 while_loop stop (measured: 0.0 prediction diff, loop
+    # exits at ~2.7k of 10000 steps on the bundled data).  The while_loop
+    # variant was MEASURED SLOWER on both backends (TPU vmapped CV 7.1 s
+    # vs 5.4 s; XLA schedules scan tighter than while), so the cap stays a
+    # scan.  ``maxit`` mirrors nnet's cap semantics (V73:249) and
+    # test_nn_maxit_plateaus_by_default pins that the default is past the
+    # L-BFGS plateau.
     def step(carry, _):
         params, state = carry
         value, grad = value_and_grad(params, state=state)
