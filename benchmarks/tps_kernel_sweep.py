@@ -42,8 +42,8 @@ def main():
         ).astype(np.float32)
         y = ys[:, 0] if n_resp == 1 else ys
         model = tps_fit(jnp.asarray(pts), jnp.asarray(y), lam=1e-5)
-        for block in (1024, 2048):
-            for chunk in (128, 256):
+        for block in (1024, 2048, 4096):
+            for chunk in (128, 256, 448, 896):
                 pallas_tps._BLOCK = block
                 pallas_tps._KNOT_CHUNK = chunk
                 pallas_tps._compiled_grid_eval.cache_clear()
