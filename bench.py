@@ -164,11 +164,13 @@ def main():
             return acc + jnp.log(x + i.astype(x.dtype))
         return jax.lax.fori_loop(0, loops, body, jnp.zeros_like(x), unroll=4)
 
-    # 448 extra iterations x 16.8M logs ~ 0.15 s of pure log work — well
-    # above the tunnel's ~0.1 s per-readback timing noise
-    dt_l1, _ = _time_best(lambda: float(jnp.nansum(log_probe(probe, 64))))
-    dt_l3, _ = _time_best(lambda: float(jnp.nansum(log_probe(probe, 512))))
-    dt_log = max((dt_l3 - dt_l1) / 448, 1e-9)  # per-application slope
+    # 1792 extra iterations x 16.8M logs ~ 0.5+ s of pure log work per
+    # slope — the tunnel's per-readback latency fluctuates by ~0.1 s run
+    # to run, so the work must swamp it (a 448-iteration probe once
+    # measured the peak 3x low, yielding a nonsense >1 utilization)
+    dt_l1, _ = _time_best(lambda: float(jnp.nansum(log_probe(probe, 256))))
+    dt_l3, _ = _time_best(lambda: float(jnp.nansum(log_probe(probe, 2048))))
+    dt_log = max((dt_l3 - dt_l1) / 1792, 1e-9)  # per-application slope
     log_peak_per_s = probe.size / dt_log
     transc_util = transc_per_s / log_peak_per_s
 
