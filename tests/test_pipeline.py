@@ -66,6 +66,60 @@ def test_mltps_end_to_end(rng):
     assert r2 > 0.95
 
 
+def test_fit_final_batched_matches_serial(rng):
+    """Response-batched final fits (one vmapped program per letter) must
+    agree with the serial per-response ``_fit_final`` path: same models
+    from the same keys; predictions statistically equal (vmap reorders
+    floating-point accumulation inside training loops), importance
+    reporters structurally identical."""
+    import jax
+
+    from machisplin_tpu.pipeline.mltps import _fit_final, _fit_final_batched
+
+    n, p = 250, 4
+    x = jnp.asarray(rng.uniform(-1, 1, (n, p)).astype(np.float32))
+    xa = np.asarray(x)
+    ys = np.stack(
+        [
+            np.sin(2 * xa[:, 0]) + 0.5 * xa[:, 1] + 0.05 * rng.standard_normal(n),
+            0.3 * xa[:, 2] ** 2 - xa[:, 3] + 0.05 * rng.standard_normal(n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    names = [f"c{j}" for j in range(p)]
+    cfg = dataclasses.replace(FAST, svm_importance_sample=25)
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    xq = jnp.asarray(rng.uniform(-1, 1, (60, p)).astype(np.float32))
+
+    def r2(y_true, y_hat):
+        return 1 - np.sum((y_true - y_hat) ** 2) / np.sum((y_true - y_true.mean()) ** 2)
+
+    for letter in "gnmv":
+        bfn, imps = _fit_final_batched(letter, keys, x, jnp.asarray(ys), names, cfg)
+        got = np.asarray(bfn(xq))                   # (60, 2)
+        assert got.shape == (60, 2)
+        got_tr = np.asarray(bfn(x))                 # training-row predictions
+        for j in range(2):
+            sfn, simp = _fit_final(letter, keys[j], x, jnp.asarray(ys[:, j]), names, cfg)
+            want = np.asarray(sfn(xq))
+            if letter == "g":
+                # OLS is deterministic: batched == serial to solver noise
+                scale = max(float(np.abs(want).max()), 1e-6)
+                np.testing.assert_allclose(got[:, j] / scale, want / scale, atol=1e-5)
+            else:
+                # iterative/greedy learners: batched matmuls reorder
+                # accumulation, which can flip a MARS knot or shift a
+                # non-converged optimum — assert fit-quality equivalence
+                # (same model family, same data, same key), not pointwise
+                r2_b = r2(ys[:, j], got_tr[:, j])
+                r2_s = r2(ys[:, j], np.asarray(sfn(x)))
+                assert abs(r2_b - r2_s) < 0.05, (
+                    f"letter {letter} response {j}: batched r2 {r2_b:.4f} "
+                    f"vs serial {r2_s:.4f}"
+                )
+            assert set(imps[j]) == set(simp), f"letter {letter} importance keys"
+
+
 def test_mltps_wide_covariate_stack(rng):
     """mltps over MORE than 6 covariate bands (VERDICT r2 Missing #3 /
     ADVICE medium): 7 bands + LONG/LAT = 9 model features — past the old
