@@ -499,7 +499,10 @@ def mltps(
     enable_compile_cache()  # rerun/second-response compiles hit the disk cache
     if key is None:
         key = jax.random.PRNGKey(0)
-    rast_stack, covar_names, coords, x, responses = _prepare_inputs(int_values, covar_ras)
+    with timer.phase("input_prep"):
+        rast_stack, covar_names, coords, x, responses = _prepare_inputs(
+            int_values, covar_ras
+        )
     x = jnp.asarray(x, rast_stack.data.dtype)
     letters_pool = SMOOTH_LETTERS if smooth_outputs_only else "bgnmrv"
 
@@ -519,21 +522,23 @@ def mltps(
     # final fits so the vmappable letters can batch across responses)
     resp_names = list(responses.keys())
     wres_all, kept_all = [], []
-    for i, name in enumerate(resp_names):
-        cv_out = {
-            letter: (res[i] if res.ndim == 2 else res) for letter, res in cv_all.items()
-        }
-        rmat = residual_matrix(cv_out, letters_pool)
-        if config.weight_optimizer == "sweep":
-            wres = optimize_weights_sweep(rmat, letters_pool)
-        else:
-            wres = optimize_weights_lbfgsb(rmat, letters_pool)
-        mods_run = "b" if trouble else wres.letters
-        kept = {"b": 1.0} if trouble else dict(zip(wres.letters, wres.kept_weights))
-        log.info("layer %s kept: %s weights %s (%s%%)",
-                 name, mods_run, wres.kept_weights, wres.percent_text)
-        wres_all.append(wres)
-        kept_all.append((mods_run, kept))
+    with timer.phase("ensemble_weights"):
+        for i, name in enumerate(resp_names):
+            cv_out = {
+                letter: (res[i] if res.ndim == 2 else res)
+                for letter, res in cv_all.items()
+            }
+            rmat = residual_matrix(cv_out, letters_pool)
+            if config.weight_optimizer == "sweep":
+                wres = optimize_weights_sweep(rmat, letters_pool)
+            else:
+                wres = optimize_weights_lbfgsb(rmat, letters_pool)
+            mods_run = "b" if trouble else wres.letters
+            kept = {"b": 1.0} if trouble else dict(zip(wres.letters, wres.kept_weights))
+            log.info("layer %s kept: %s weights %s (%s%%)",
+                     name, mods_run, wres.kept_weights, wres.percent_text)
+            wres_all.append(wres)
+            kept_all.append((mods_run, kept))
 
     # part 2a — response-batched final fits for the vmappable letters: one
     # fit program and ONE raster pass per letter covering every response
