@@ -145,9 +145,8 @@ def predict(
     concrete = not isinstance(x, jax.core.Tracer)
     concrete_trees = not isinstance(state.trees.feat, jax.core.Tracer)
     on_device = jax.default_backend() != "cpu"
-    if on_device and (
-        tables is not None
-        or (concrete and concrete_trees and x.shape[0] >= native_threshold)
+    if tables is not None or (
+        on_device and concrete and concrete_trees and x.shape[0] >= native_threshold
     ):
         # gbm trees are tiny (J+1 leaves) and final models run to 10^4
         # trees: dense bin-interval leaf algebra beats both serial

@@ -108,10 +108,12 @@ def predict(state: RFState, x, native_threshold: int = 65536, tables=None) -> ja
     concrete = not isinstance(x, jax.core.Tracer)
     concrete_trees = not isinstance(state.trees.feat, jax.core.Tracer)
     on_device = jax.default_backend() != "cpu"
-    if on_device and (
-        tables is not None
-        or (concrete and concrete_trees and x.shape[0] >= native_threshold)
+    if tables is not None or (
+        on_device and concrete and concrete_trees and x.shape[0] >= native_threshold
     ):
+        # precomputed tables force the bin-interval path on ANY backend (the
+        # kernel has a jnp twin) so mesh-sharded raster prediction exercises
+        # the same code path on the CPU test mesh as on TPU chips
         from ..ops.pallas_forest import forest_predict_bins
 
         return forest_predict_bins(

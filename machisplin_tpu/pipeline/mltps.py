@@ -116,10 +116,10 @@ def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256, me
     rows = []
     host = getattr(predict_fn, "prefers_host", False)
     # Pallas kernels (the forest predictors' device path) cannot be
-    # auto-partitioned by GSPMD — those fns stream panels through a plain
-    # single-chip jit instead of the sharded one (mesh-sharding them needs
-    # an explicit shard_map wrapper; ROADMAP)
-    no_shard = getattr(predict_fn, "no_shard", False)
+    # auto-partitioned by GSPMD — those fns shard through an explicit
+    # shard_map over the cell-row axis instead (each device runs the kernel
+    # on its panel; the leaf tables are closed-over constants, replicated)
+    manual = getattr(predict_fn, "manual_shard", False)
 
     def masked(x):
         ok = jnp.all(jnp.isfinite(x), axis=1)
@@ -131,11 +131,17 @@ def predict_over_stack(predict_fn, rast_stack: Raster, block_rows: int = 256, me
     pad_to = 1
     if host:
         fn = masked
-    elif mesh is not None and not no_shard:
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        s = NamedSharding(mesh, P(mesh.axis_names[0]))
-        fn = jax.jit(masked, in_shardings=s, out_shardings=s)
+        spec = P(mesh.axis_names[0])
+        if manual:
+            fn = jax.jit(
+                jax.shard_map(masked, mesh=mesh, in_specs=spec, out_specs=spec)
+            )
+        else:
+            s = NamedSharding(mesh, spec)
+            fn = jax.jit(masked, in_shardings=s, out_shardings=s)
         pad_to = int(np.prod(mesh.devices.shape))
     else:
         fn = jax.jit(masked)
@@ -194,10 +200,13 @@ def _prepare_inputs(int_values, covar_ras: Raster):
     return rast_stack, covar_names, coords, x, responses
 
 
-def _forest_tables(trees, n_feat: int):
-    """Bin-interval leaf tables for the device forest predictor; None on CPU
-    (where raster tree prediction routes to the C++ host path instead)."""
-    if jax.default_backend() == "cpu":
+def _forest_tables(trees, n_feat: int, mesh=None):
+    """Bin-interval leaf tables for the device forest predictor; None on a
+    single-device CPU run (where raster tree prediction routes to the C++
+    host path instead).  With a mesh the tables are always built — the
+    bin-interval predictor (jnp twin on CPU, Pallas kernel on TPU) is the
+    only forest path that shards across devices."""
+    if mesh is None and jax.default_backend() == "cpu":
         return None
     from ..ops.pallas_forest import build_leaf_bins
 
@@ -232,22 +241,23 @@ def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     if letter == "r":
         state = rf.fit(key, x, y, **config.final_rf)
         imp = rf.importance(state, x, y, names)
-        tabs = _forest_tables(state.trees, np.asarray(x).shape[1])
+        tabs = _forest_tables(state.trees, np.asarray(x).shape[1], config.mesh)
         fn = lambda q: rf.predict(state, q, tables=tabs)
         # with device tables the bin-interval kernel is fully jittable, so
         # raster panels stream through ONE compiled program (the TPS-path
-        # treatment); without them (CPU backend) blocks stay eager so the
-        # C++ host predictor can take large batches
+        # treatment), sharding across any mesh via shard_map; without them
+        # (single-device CPU) blocks stay eager so the C++ host predictor
+        # can take large batches
         fn.prefers_host = tabs is None
-        fn.no_shard = True
+        fn.manual_shard = True
         return fn, imp
     if letter == "b":
         res = gbm_step.fit(key, x, y, **config.final_brt)
         imp = gbm_step.importance(res, names)
-        tabs = _forest_tables(res.final.trees, np.asarray(x).shape[1])
+        tabs = _forest_tables(res.final.trees, np.asarray(x).shape[1], config.mesh)
         fn = lambda q: gbm_step.predict(res, q, tables=tabs)
         fn.prefers_host = tabs is None
-        fn.no_shard = True
+        fn.manual_shard = True
         return fn, imp
     raise ValueError(letter)
 
