@@ -218,7 +218,7 @@ def _cv_deviance_curve(
 
 @functools.lru_cache(maxsize=32)
 def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
-                   n_cycles=1):
+                   n_cycles=1, with_fhist=False):
     """``n_cycles`` jitted growth cycles for the batched CV curve: advances
     every (outer, inner) boosting chain by n_cycles x step_size trees and
     returns the per-cycle holdout deviances (n_cycles, F, K).  Cached so
@@ -227,7 +227,13 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
     runtime's program watchdog at this batch width.  Batching a few cycles
     per dispatch amortises the host round-trip; the key chain inside
     reproduces the host loop's split(key_j) sequence exactly, so results
-    are bit-identical to single-cycle dispatching."""
+    are bit-identical to single-cycle dispatching.
+
+    ``with_fhist``: additionally return per-cycle training deviances and
+    the checkpointed link-scale fits (n_cycles, F, K, n) — the inputs the
+    gbm.step CV-statistics block needs (fit_multi's statistics path).  Off
+    by default: the extra device->host traffic is pure overhead on the
+    run_cv hot path."""
 
     @jax.jit
     def cycle(key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum):
@@ -272,12 +278,17 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
             )
             return flat.reshape(f_outer, n_folds, n), None
 
+        train_sum = jnp.maximum(jnp.sum(train_w, axis=2), 1.0) if with_fhist else None
+
         def one_cycle(carry, _):
             fm, kj = carry
             kj, key_c = jax.random.split(kj)
             keys = jax.random.split(key_c, step_size)
             fm, _ = jax.lax.scan(tree_step, fm, keys)
             dev = jnp.sum(test_w * (y[:, None, :] - fm) ** 2, axis=2) / test_sum
+            if with_fhist:
+                tdev = jnp.sum(train_w * (y[:, None, :] - fm) ** 2, axis=2) / train_sum
+                return (fm, kj), (dev, tdev, fm)
             return (fm, kj), dev
 
         (fmat, key_j), devs = jax.lax.scan(
@@ -295,9 +306,19 @@ def _chain_sharding(mesh, ndim):
     return NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
 
 
+class MultiCurve(NamedTuple):
+    stopped: jax.Array            # (F,) stopping checkpoint per chain
+    dev: jax.Array                # (max_cp, F, K) holdout deviance (inf pad)
+    edges: jax.Array              # (F, K, p, nb-1) per-chain bin edges
+    xb: jax.Array                 # (F, K, n, p) per-chain binned data
+    tdev: Any = None              # (max_cp, F, K) train deviance (keep_fhist)
+    fhist: Any = None             # (max_cp, F, K, n) link fits (keep_fhist)
+
+
 def _cv_deviance_curve_multi(
     key, x, y, w_outer, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
-    step_size, max_trees, tolerance, n_bins, mesh=None,
+    step_size, max_trees, tolerance, n_bins, mesh=None, selectors=None,
+    keep_fhist=False,
 ):
     """All OUTER folds' gbm.step CV curves, batched.
 
@@ -308,7 +329,12 @@ def _cv_deviance_curve_multi(
     tree step — in bounded jitted cycle programs with the checkpoint/stop
     bookkeeping on the host; each outer fold freezes at its own stopping
     checkpoint (the reference's rule applied per gbm.step run).  Returns
-    (stopped_at (F,), dev (max_cp, F, K), per-chain edges, per-chain xb).
+    a MultiCurve (stopping checkpoints, deviance curves, per-chain edges/xb;
+    plus train deviances and checkpointed fold fits when ``keep_fhist``).
+
+    ``selectors``: optional (F, n) fold memberships; when omitted they are
+    drawn on-device (argsort of uniforms — a different RNG stream than
+    ``fit``'s host ``_make_selector``, statistically equivalent).
 
     ``mesh``: device mesh — the outer-chain axis F shards across it (F must
     divide the mesh size; fit_outer_batched pads its chunks accordingly).
@@ -325,12 +351,16 @@ def _cv_deviance_curve_multi(
 
     kfold, kboost = jax.random.split(key)
 
-    def selector_for(kf, w):
-        order = jnp.argsort(jax.random.uniform(kf, (n,)) + (w <= 0) * 10.0)
-        seq = (jnp.arange(n) % n_folds).astype(jnp.int32)
-        return jnp.zeros((n,), jnp.int32).at[order].set(seq)
+    if selectors is None:
 
-    selectors = jax.vmap(selector_for)(jax.random.split(kfold, f_outer), w_outer)
+        def selector_for(kf, w):
+            order = jnp.argsort(jax.random.uniform(kf, (n,)) + (w <= 0) * 10.0)
+            seq = (jnp.arange(n) % n_folds).astype(jnp.int32)
+            return jnp.zeros((n,), jnp.int32).at[order].set(seq)
+
+        selectors = jax.vmap(selector_for)(jax.random.split(kfold, f_outer), w_outer)
+    else:
+        selectors = jnp.asarray(selectors, jnp.int32)
     fold_ids = jnp.arange(n_folds)
     train_w = (
         (selectors[:, None, :] != fold_ids[None, :, None]).astype(x.dtype)
@@ -359,6 +389,7 @@ def _cv_deviance_curve_multi(
     cycle_fn = _cycle_program(
         n_splits=n_splits, lr=lr, bag_fraction=bag_fraction,
         min_leaf=min_leaf, step_size=step_size, n_cycles=n_cyc,
+        with_fhist=keep_fhist,
     )
     fmat = jnp.broadcast_to(f0[:, :, None], (f_outer, n_folds, n)).astype(x.dtype)
     if mesh is not None:
@@ -373,6 +404,10 @@ def _cv_deviance_curve_multi(
 
         x = jax.device_put(x, NamedSharding(mesh, P()))  # replicate rows
     dev = np.full((max_cp, f_outer, n_folds), np.inf, np.float64)
+    # fhist/tdev live on the host as per-dispatch float32 chunks (only up to
+    # the last dispatched checkpoint — stops are usually far below max_cp)
+    tdev_chunks: list = []
+    fhist_chunks: list = []
     stopped = np.full((f_outer,), max_cp + 1, np.int64)
     key_j = kboost
     j = 0
@@ -380,6 +415,11 @@ def _cv_deviance_curve_multi(
         fmat, key_j, dev_c = cycle_fn(
             key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum
         )
+        if keep_fhist:
+            dev_c, tdev_c, fh_c = dev_c
+            c_keep = min(n_cyc, max_cp - j)
+            tdev_chunks.append(np.asarray(tdev_c, np.float32)[:c_keep])
+            fhist_chunks.append(np.asarray(fh_c, np.float32)[:c_keep])
         c_here = min(n_cyc, max_cp - j)
         dev[j : j + c_here] = np.asarray(dev_c)[:c_here]
         for jj in range(j, j + c_here):
@@ -394,7 +434,12 @@ def _cv_deviance_curve_multi(
                 stopped[fire] = jj + 1
         j += c_here
     stopped = np.minimum(stopped, j)
-    return jnp.asarray(stopped), jnp.asarray(dev, x.dtype), edges, xb
+    tdev_out = np.concatenate(tdev_chunks) if tdev_chunks else None
+    fhist_out = np.concatenate(fhist_chunks) if fhist_chunks else None
+    return MultiCurve(
+        jnp.asarray(stopped), jnp.asarray(dev, x.dtype), edges, xb,
+        tdev_out, fhist_out,
+    )
 
 
 @highest_precision
@@ -427,8 +472,11 @@ def fit_outer_batched(
     shared or (F, n) per chain — so SEVERAL RESPONSE VARIABLES' gbm.step
     runs batch into the same device programs (each (response, outer-fold)
     pair is just another chain).  Returns (predictions (F, n) from each
-    fold's best.trees refit, best_trees (F,)).  Selection semantics per
-    fold are identical to ``fit``; only the execution is batched.  Outer
+    fold's best.trees refit, best_trees (F,)).  Selection RULES per fold
+    (windows, tolerance, best.trees argmin) are identical to ``fit``, but
+    the inner-fold memberships come from a different RNG stream (on-device
+    argsort here vs ``fit``'s host ``_make_selector``) — statistically
+    equivalent, not bit-identical.  Outer
     chains run in chunks of ``outer_chunk`` (chunk x n_folds boosting
     chains per program; all 100 chains fit in one program now that the
     growth cycle is gather-free — the old gather-heavy version overwhelmed
@@ -474,9 +522,9 @@ def fit_outer_batched(
         tol_c = tolerance[s : s + chunk] if isinstance(tolerance, np.ndarray) else tolerance
         if isinstance(tol_c, np.ndarray) and tol_c.shape[0] < chunk:
             tol_c = np.resize(tol_c, chunk)
-        stopped_c, dev_c, _, _ = curve_fn(jax.random.fold_in(kcv, s), y_c, w_c, tol_c)
-        stopped_parts.append(np.asarray(stopped_c))
-        cv_parts.append(np.asarray(jnp.mean(dev_c, axis=2)))
+        curve = curve_fn(jax.random.fold_in(kcv, s), y_c, w_c, tol_c)
+        stopped_parts.append(np.asarray(curve.stopped))
+        cv_parts.append(np.asarray(jnp.mean(curve.dev, axis=2)))
     stopped = np.concatenate(stopped_parts)[:f_outer]
     cv_mean = np.concatenate(cv_parts, axis=1)[:, :f_outer]  # (max_cp, F)
     best_trees = np.zeros(f_outer, np.int64)
@@ -513,6 +561,252 @@ def fit_outer_batched(
     # training-row predictions come straight from each final fit's scan
     # carry (active-tree mask already applied) — no forest routing pass
     return np.asarray(finals.train_fit)[:f_outer], best_trees
+
+
+def _cv_statistics_at_best(fbest, y_np, w_np, selector_np, n_folds, family):
+    """The reference's cv.statistics block at best.trees (V73:2014-2096):
+    per-fold heldout deviance/correlation with means and SEs, between-fold
+    fitted-value variances, and the heldout linear predictors.  Shared by
+    ``fit`` and ``fit_multi``."""
+    ubest = np.asarray(response(jnp.asarray(fbest), family))   # response scale
+    n = y_np.shape[0]
+    cv_dev_stats = np.zeros(n_folds)
+    cv_cor_stats = np.zeros(n_folds)
+    fold_fit = np.zeros(n)
+    for i in range(n_folds):
+        held = (selector_np == i) & (w_np > 0)
+        cv_dev_stats[i] = float(
+            calc_deviance(y_np[held], ubest[i, held], weights=w_np[held], family=family)
+        )
+        yi, ui = y_np[held], ubest[i, held]
+        cv_cor_stats[i] = (
+            float(np.corrcoef(yi, ui)[0, 1]) if held.sum() > 1 and np.std(ui) > 0 else np.nan
+        )
+        fold_fit[held] = fbest[i, held]
+    fitted_vars = np.var(ubest, axis=0, ddof=1)
+    cv_statistics = {
+        "deviance.mean": float(np.nanmean(cv_dev_stats)),
+        "deviance.se": float(np.nanstd(cv_dev_stats, ddof=1) / math.sqrt(n_folds)),
+        "correlation.mean": float(np.nanmean(cv_cor_stats)),
+        "correlation.se": float(np.nanstd(cv_cor_stats, ddof=1) / math.sqrt(n_folds)),
+        "deviance.stats": cv_dev_stats,
+        "correlation.stats": cv_cor_stats,
+    }
+    return cv_statistics, fitted_vars, fold_fit
+
+
+def _self_statistics(fitted_link, y_np, w_np, family, total_deviance, n_active):
+    """The reference's self.statistics block and family-correct residuals
+    of the final model (V73:2115-2152, 2190-2192).  Shared by ``fit`` and
+    ``fit_multi``."""
+    fitted = np.asarray(response(jnp.asarray(fitted_link), family))
+    resid_deviance = float(
+        calc_deviance(y_np, jnp.asarray(fitted), weights=w_np, family=family,
+                      calc_mean=False)
+    )
+    if family == "bernoulli":
+        contribs = y_np * np.log(np.maximum(fitted, 1e-12)) + (1 - y_np) * np.log(
+            np.maximum(1 - fitted, 1e-12)
+        )
+        residuals = np.sqrt(np.abs(contribs * 2.0))
+        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
+    elif family == "poisson":
+        contribs = np.where(
+            y_np == 0, 0.0, y_np * np.log(np.maximum(y_np, 1e-12) / np.maximum(fitted, 1e-12))
+        ) - (y_np - fitted)
+        residuals = np.sqrt(np.abs(contribs * 2.0))
+        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
+    else:  # gaussian | laplace
+        residuals = y_np - fitted
+    with np.errstate(invalid="ignore"):
+        self_cor = float(np.corrcoef(y_np[w_np > 0], fitted[w_np > 0])[0, 1])
+    self_statistics = {
+        "null": total_deviance,
+        "mean.null": total_deviance / n_active,
+        "resid": resid_deviance,
+        "mean.resid": resid_deviance / n_active,
+        "correlation": self_cor,
+    }
+    return fitted, residuals, self_statistics
+
+
+@highest_precision
+def fit_multi(
+    keys,
+    x,
+    ycols,
+    *,
+    tree_complexity: int = 5,
+    learning_rate: float = 0.001,
+    bag_fraction: float = 0.5,
+    n_folds: int = 10,
+    step_size: int = 50,
+    max_trees: int = 10000,
+    tolerance: float | None = None,
+    min_leaf: float = 10.0,
+    n_bins: int = 64,
+    max_restarts: int = 3,
+    statistics: bool = False,
+    mesh=None,
+) -> list:
+    """gbm.step final fits for SEVERAL responses batched into one device
+    program sequence (gaussian, unweighted rows — mltps's final-fit case,
+    V73:447/493).  The pipeline's last O(R) part-2 block becomes O(1)
+    dispatch sequences: every response's 10 inner-fold boosting chains
+    advance in the same bounded cycle programs (R x K chains), stopping
+    decisions/restarts resolve per response on the host, and the final
+    refits run as ONE vmapped program with tree budgets padded to the
+    bucketed max best.trees (later trees train but contribute nothing —
+    ``n_trees_active``).
+
+    ``keys``: (R,) per-response PRNG keys — the same keys the serial
+    ``fit`` loop would receive, so each response's fold selector matches
+    its serial twin exactly (host ``_make_selector`` from the same ksel).
+    Bag draws ride the batched curve's shared key chain instead of the
+    serial per-response chain: the fits are statistically equivalent, not
+    bit-identical (the test_pipeline batched-final-fit caveat).
+
+    The lr/2 restart rule (V73:1948-1955) applies per response: responses
+    whose holdout deviance rises within the first 4 cycles re-enter the
+    next batched curve at half their rate; groups are keyed by current lr
+    so restarted responses batch together.
+
+    ``statistics=False`` (default) skips the CV/self statistics blocks —
+    they checkpoint every fold fit through the device->host link (pure
+    overhead on the pipeline path, which only consumes ``final`` and the
+    importance reporter).  With ``statistics=True`` every GBMStepResult
+    field is filled exactly as ``fit`` fills it.
+
+    Returns a list of R GBMStepResult, indexed like ``ycols``' columns.
+    """
+    x = jnp.asarray(x)
+    ycols = jnp.asarray(ycols)
+    n, p = x.shape
+    n_resp = int(ycols.shape[1])
+    y_np_all = np.asarray(ycols)
+    w_np = np.ones(n)
+
+    # per-response scalars exactly as the serial fit computes them
+    selectors = np.zeros((n_resp, n), np.int32)
+    kcvs, kfinals = [], []
+    total_dev = np.zeros(n_resp)
+    for j in range(n_resp):
+        ksel, kcv, kfinal = jax.random.split(jax.random.fold_in(keys[j], 7), 3)
+        yj = y_np_all[:, j]
+        total_dev[j] = float(np.sum((yj - yj.mean()) ** 2))
+        selectors[j] = _make_selector(ksel, yj, w_np, n_folds)
+        kcvs.append(kcv)
+        kfinals.append(kfinal)
+    tol = (
+        0.001 * total_dev / n if tolerance is None else np.full(n_resp, tolerance)
+    )
+
+    max_cp = max_trees // step_size
+    lr_used = np.full(n_resp, float(learning_rate))
+    restarts = np.zeros(n_resp, np.int64)
+    done: dict[int, dict] = {}
+    pending = list(range(n_resp))
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    while pending:
+        lr_g = lr_used[pending[0]]
+        group = [j for j in pending if lr_used[j] == lr_g]
+        f_g = len(group)
+        f_pad = -(-f_g // n_dev) * n_dev
+        idx = (group * (-(-f_pad // f_g)))[:f_pad]  # tile up to the mesh size
+        y_g = jnp.asarray(y_np_all[:, idx].T, x.dtype)
+        w_g = jnp.ones((f_pad, n), x.dtype)
+        curve = _cv_deviance_curve_multi(
+            jax.random.fold_in(kcvs[group[0]], int(restarts[group[0]])),
+            x, y_g, w_g,
+            n_folds=n_folds, n_splits=tree_complexity, lr=float(lr_g),
+            bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
+            max_trees=max_trees, tolerance=tol[idx], n_bins=n_bins,
+            selectors=selectors[idx], keep_fhist=statistics, mesh=mesh,
+        )
+        cv_mean = np.asarray(jnp.mean(curve.dev, axis=2))     # (max_cp, f_pad)
+        stopped_np = np.asarray(curve.stopped)
+        finished = []
+        for gi, j in enumerate(group):
+            j_stop = max(int(stopped_np[gi]), 1)
+            c = cv_mean[:j_stop, gi]
+            rose_early = any(jj < j_stop and c[jj] > c[jj - 1] for jj in (1, 2, 3))
+            if rose_early and restarts[j] < max_restarts:
+                restarts[j] += 1
+                lr_used[j] *= 0.5
+                continue
+            best_cp = int(np.argmin(c))
+            done[j] = dict(
+                best_cp=best_cp, j_stop=j_stop,
+                dev=np.asarray(curve.dev[:j_stop, gi]),
+                tdev=(curve.tdev[:j_stop, gi] if statistics else None),
+                fbest=(curve.fhist[best_cp, gi] if statistics else None),
+            )
+            finished.append(j)
+        pending = [j for j in pending if j not in finished]
+
+    best_trees = np.asarray(
+        [(done[j]["best_cp"] + 1) * step_size for j in range(n_resp)], np.int64
+    )
+    budget = int(max(step_size, -(-best_trees.max() // step_size) * step_size))
+    # w == 1 for every response, so the final refits share ONE bin table
+    from .trees import make_bins
+
+    edges = make_bins(x, n_bins)
+    xb = bin_data(x, edges)
+    fit_one = lambda k, yf, nt, lr: brt.fit(
+        k, x, yf, n_trees=budget, n_splits=tree_complexity, lr=lr,
+        bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
+        n_trees_active=nt, edges=edges, xb=xb,
+    )
+    finals = jax.jit(jax.vmap(fit_one))(
+        jnp.stack(kfinals), ycols.T, jnp.asarray(best_trees),
+        jnp.asarray(lr_used, x.dtype),
+    )
+
+    pad = jnp.full((max_cp,), jnp.inf, x.dtype)
+    results = []
+    for j in range(n_resp):
+        d = done[j]
+        state_j = jax.tree_util.tree_map(lambda a: a[j], finals)
+        dev_j = d["dev"]                                 # (j_stop, K)
+        cv_mean_j = jnp.asarray(dev_j.mean(axis=1), x.dtype)
+        cv_se_j = jnp.asarray(
+            dev_j.std(axis=1, ddof=1) / math.sqrt(n_folds), x.dtype
+        )
+        kw: dict[str, Any] = {}
+        if statistics:
+            y_np = y_np_all[:, j]
+            n_active = float(n)
+            cv_statistics, fitted_vars, fold_fit = _cv_statistics_at_best(
+                d["fbest"], y_np, w_np, selectors[j], n_folds, "gaussian"
+            )
+            fitted, residuals, self_statistics = _self_statistics(
+                np.asarray(state_j.train_fit), y_np, w_np, "gaussian",
+                total_dev[j], n_active,
+            )
+            kw = dict(
+                training_deviance=pad.at[: d["j_stop"]].set(
+                    jnp.asarray(d["tdev"].mean(axis=1), x.dtype)
+                ),
+                fitted=fitted, residuals=residuals, fitted_vars=fitted_vars,
+                fold_fit=fold_fit, self_statistics=self_statistics,
+                cv_statistics=cv_statistics,
+            )
+        results.append(
+            GBMStepResult(
+                final=state_j,
+                best_trees=int(best_trees[j]),
+                trees_fitted=d["j_stop"] * step_size,
+                cv_deviance=pad.at[: d["j_stop"]].set(cv_mean_j),
+                cv_deviance_se=pad.at[: d["j_stop"]].set(cv_se_j),
+                family="gaussian",
+                learning_rate=float(lr_used[j]),
+                restarts=int(restarts[j]),
+                selector=selectors[j],
+                **kw,
+            )
+        )
+    return results
 
 
 @highest_precision
@@ -592,31 +886,11 @@ def fit(
     # fold fits — per-fold heldout deviance and correlation, fitted-value
     # matrix and its between-fold variances, heldout linear predictors
     fbest = np.asarray(fhist[best_cp])              # (k, n) link scale
-    ubest = np.asarray(response(jnp.asarray(fbest), family))   # response scale
     y_np = np.asarray(y)
     w_np = np.asarray(w)
-    cv_dev_stats = np.zeros(n_folds)
-    cv_cor_stats = np.zeros(n_folds)
-    fold_fit = np.zeros(n)
-    for i in range(n_folds):
-        held = (selector_np == i) & (w_np > 0)
-        cv_dev_stats[i] = float(
-            calc_deviance(y_np[held], ubest[i, held], weights=w_np[held], family=family)
-        )
-        yi, ui = y_np[held], ubest[i, held]
-        cv_cor_stats[i] = (
-            float(np.corrcoef(yi, ui)[0, 1]) if held.sum() > 1 and np.std(ui) > 0 else np.nan
-        )
-        fold_fit[held] = fbest[i, held]
-    fitted_vars = np.var(ubest, axis=0, ddof=1)
-    cv_statistics = {
-        "deviance.mean": float(np.nanmean(cv_dev_stats)),
-        "deviance.se": float(np.nanstd(cv_dev_stats, ddof=1) / math.sqrt(n_folds)),
-        "correlation.mean": float(np.nanmean(cv_cor_stats)),
-        "correlation.se": float(np.nanstd(cv_cor_stats, ddof=1) / math.sqrt(n_folds)),
-        "deviance.stats": cv_dev_stats,
-        "correlation.stats": cv_cor_stats,
-    }
+    cv_statistics, fitted_vars, fold_fit = _cv_statistics_at_best(
+        fbest, y_np, w_np, selector_np, n_folds, family
+    )
 
     # --- final refit on all rows; budget bucketed to bound recompiles
     budget = max(step_size, -(-best_trees // step_size) * step_size)
@@ -629,33 +903,9 @@ def fit(
 
     # --- self statistics of the final model (V73:2115-2152, 2190-2192)
     fitted_link = np.asarray(final.train_fit)  # scan carry == predict at x
-    fitted = np.asarray(response(jnp.asarray(fitted_link), family))
-    resid_deviance = float(
-        calc_deviance(y, jnp.asarray(fitted), weights=w, family=family, calc_mean=False)
+    fitted, residuals, self_statistics = _self_statistics(
+        fitted_link, y_np, w_np, family, total_deviance, n_active
     )
-    if family == "bernoulli":
-        contribs = y_np * np.log(np.maximum(fitted, 1e-12)) + (1 - y_np) * np.log(
-            np.maximum(1 - fitted, 1e-12)
-        )
-        residuals = np.sqrt(np.abs(contribs * 2.0))
-        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
-    elif family == "poisson":
-        contribs = np.where(
-            y_np == 0, 0.0, y_np * np.log(np.maximum(y_np, 1e-12) / np.maximum(fitted, 1e-12))
-        ) - (y_np - fitted)
-        residuals = np.sqrt(np.abs(contribs * 2.0))
-        residuals = np.where(y_np - fitted < 0, -residuals, residuals)
-    else:  # gaussian | laplace
-        residuals = y_np - fitted
-    with np.errstate(invalid="ignore"):
-        self_cor = float(np.corrcoef(y_np[w_np > 0], fitted[w_np > 0])[0, 1])
-    self_statistics = {
-        "null": total_deviance,
-        "mean.null": mean_total_deviance,
-        "resid": resid_deviance,
-        "mean.resid": resid_deviance / n_active,
-        "correlation": self_cor,
-    }
 
     max_cp = max_trees // step_size
     pad = jnp.full((max_cp,), jnp.inf, x.dtype)

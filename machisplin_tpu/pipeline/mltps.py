@@ -72,6 +72,7 @@ class MLTPSConfig:
     tps_batch_tiles: bool = True     # one vmapped masked solve for all tiles
     tps_tile_chunk: int = 16         # tiles solved/predicted per device batch
     weight_optimizer: str = "lbfgsb"  # or "sweep" (TPU batched candidate sweep)
+    batch_final_brt: bool = True  # batch gbm.step final fits across responses
     predict_block_rows: int = 256
     svm_importance_sample: int = 200  # V73:564
     use_pallas: bool | None = None
@@ -557,66 +558,112 @@ def mltps(
             wres_all.append(wres)
             kept_all.append((mods_run, kept))
 
-    # part 2a — response-batched final fits for the vmappable letters: one
-    # fit program and ONE raster pass per letter covering every response
-    # that kept it (results identical to the serial loop; the exact serial
-    # per-(response, letter) keys are threaded through)
-    batched_final: dict[str, tuple] = {}
-    for letter in [l for l in letters_pool if l in _VMAP_FINAL]:
-        sel = [i for i, (_, kept) in enumerate(kept_all) if letter in kept]
-        if not sel:
-            continue
-        keys_l = jnp.stack([
+    # part 2 — final fits, letter-major: the vmappable letters AND gbm.step
+    # batch across responses (one fit-program sequence per letter), with the
+    # exact serial per-(response, letter) keys threaded through.  Each
+    # letter's surfaces distribute into per-response weighted accumulators
+    # as soon as its raster pass completes, so at most ONE letter's (H, W, R)
+    # panel is alive at a time (at many-response x large-grid scale the old
+    # hold-all-letters dict multiplied peak memory ~4Rx).
+    n_resp = len(resp_names)
+    ys_dev = {i: jnp.asarray(responses[resp_names[i]], x.dtype) for i in range(n_resp)}
+    pred_accs: list = [None] * n_resp
+    res_accs: list = [None] * n_resp
+    var_imps: list[dict[str, Any]] = [dict() for _ in range(n_resp)]
+
+    def _accumulate(i, letter, surf, pt_pred, imp):
+        wgt = kept_all[i][1][letter]
+        var_imps[i][letter] = imp
+        contrib = (ys_dev[i] - pt_pred) * wgt
+        pred_accs[i] = surf * wgt if pred_accs[i] is None else pred_accs[i] + surf * wgt
+        res_accs[i] = contrib if res_accs[i] is None else res_accs[i] + contrib
+
+    def _letter_keys(letter, sel):
+        # the serial loop's fkey = fold_in(fold_in(key, i), 100 + position
+        # of the letter in response i's kept dict)
+        return [
             jax.random.fold_in(
                 jax.random.fold_in(key, i),
                 100 + list(kept_all[i][1]).index(letter),
             )
             for i in sel
-        ])
-        ycols = jnp.asarray(
-            np.stack([responses[resp_names[i]] for i in sel], axis=1), x.dtype
-        )
-        with timer.phase(f"final_fit_{letter}_x{len(sel)}"):
-            bfn, imps = _fit_final_batched(
-                letter, keys_l, x, ycols, covar_names, config
-            )
-        with timer.phase(f"raster_predict_{letter}_x{len(sel)}"):
-            bsurf = predict_over_stack(
-                bfn, rast_stack, config.predict_block_rows,
-                mesh=config.mesh, out_cols=len(sel),
-            )
-        batched_final[letter] = (sel, bsurf, bfn(x), imps)
+        ]
 
-    results = []
-    for i, (name, y_np) in enumerate(responses.items()):
-        lkey = jax.random.fold_in(key, i)
-        y = jnp.asarray(y_np, x.dtype)
-        wres = wres_all[i]
-        mods_run, kept = kept_all[i]
-
-        log.info("=== layer %s: part 2 — final fits ===", name)
-        pred_acc = None
-        res_acc = None
-        var_imp: dict[str, Any] = {}
-        for k_i, (letter, wgt) in enumerate(kept.items()):
-            if letter in batched_final and i in batched_final[letter][0]:
-                sel, bsurf, bpt, imps = batched_final[letter]
-                j = sel.index(i)
-                surf, pt_pred, imp = bsurf[..., j], bpt[:, j], imps[j]
-            else:
-                fkey = jax.random.fold_in(lkey, 100 + k_i)
+    log.info("=== part 2 — final fits of %s ===", letters_pool)
+    for letter in letters_pool:
+        sel = [i for i, (_, kept) in enumerate(kept_all) if letter in kept]
+        if not sel:
+            continue
+        names_sel = [resp_names[i] for i in sel]
+        if letter in _VMAP_FINAL:
+            keys_l = jnp.stack(_letter_keys(letter, sel))
+            ycols = jnp.asarray(
+                np.stack([responses[resp_names[i]] for i in sel], axis=1), x.dtype
+            )
+            with timer.phase(f"final_fit_{letter}_x{len(sel)}"):
+                bfn, imps = _fit_final_batched(
+                    letter, keys_l, x, ycols, covar_names, config
+                )
+            with timer.phase(f"raster_predict_{letter}_x{len(sel)}"):
+                bsurf = predict_over_stack(
+                    bfn, rast_stack, config.predict_block_rows,
+                    mesh=config.mesh, out_cols=len(sel),
+                )
+            bpt = bfn(x)
+            for j, i in enumerate(sel):
+                _accumulate(i, letter, bsurf[..., j], bpt[:, j], imps[j])
+            del bsurf
+        elif letter == "b" and len(sel) > 1 and config.batch_final_brt:
+            # response-batched gbm.step: every response's inner-fold chains
+            # advance in the same bounded cycle programs (V73:447/493 —
+            # one serial gbm.step per response in the reference)
+            ycols = jnp.asarray(
+                np.stack([responses[resp_names[i]] for i in sel], axis=1), x.dtype
+            )
+            with timer.phase(f"final_fit_b_x{len(sel)}"):
+                results_b = gbm_step.fit_multi(
+                    jnp.stack(_letter_keys("b", sel)), x, ycols,
+                    **config.final_brt, mesh=config.mesh,
+                )
+            p_feat = np.asarray(x).shape[1]
+            for j, i in enumerate(sel):
+                res_b = results_b[j]
+                imp = gbm_step.importance(res_b, covar_names)
+                tabs = _forest_tables(res_b.final.trees, p_feat, config.mesh)
+                fn = lambda q, r=res_b, t=tabs: gbm_step.predict(r, q, tables=t)
+                fn.prefers_host = tabs is None
+                fn.manual_shard = True
+                with timer.phase(f"{names_sel[j]}/raster_predict_b"):
+                    surf = predict_over_stack(
+                        fn, rast_stack, config.predict_block_rows,
+                        mesh=config.mesh,
+                    )
+                _accumulate(i, letter, surf, fn(x), imp)
+        else:
+            for i in sel:
+                name = resp_names[i]
+                fkey = _letter_keys(letter, [i])[0]
                 with timer.phase(f"{name}/final_fit_{letter}"):
-                    predict_fn, imp = _fit_final(letter, fkey, x, y, covar_names, config)
+                    predict_fn, imp = _fit_final(
+                        letter, fkey, x, ys_dev[i], covar_names, config
+                    )
                 with timer.phase(f"{name}/raster_predict_{letter}"):
                     surf = predict_over_stack(
                         predict_fn, rast_stack, config.predict_block_rows,
                         mesh=config.mesh,
                     )
-                pt_pred = predict_fn(x)
-            var_imp[LETTER_TO_NAME[letter]] = imp
-            contrib_r = (y - pt_pred) * wgt
-            pred_acc = surf * wgt if pred_acc is None else pred_acc + surf * wgt
-            res_acc = contrib_r if res_acc is None else res_acc + contrib_r
+                _accumulate(i, letter, surf, predict_fn(x), imp)
+
+    results = []
+    for i, (name, y_np) in enumerate(responses.items()):
+        wres = wres_all[i]
+        mods_run, kept = kept_all[i]
+        # per-algorithm importance in the response's kept-letter order (the
+        # accumulation above runs letter-major)
+        var_imp = {LETTER_TO_NAME[l]: var_imps[i][l] for l in kept}
+        pred_acc = pred_accs[i]
+        res_acc = res_accs[i]
+        pred_accs[i] = None  # free the accumulator once consumed
 
         total = wres.weight_total if not trouble else 1.0
         pred_ensemble = pred_acc / total          # V73:619 quirk: unrounded total
