@@ -299,23 +299,51 @@ MAX_DEVICE_EIGH_KNOTS = 8192
 
 
 def tps_fit_auto(coords, y, lam=None, ngrid: int = 200, refine: int = 40,
-                 max_device_knots: int | None = None) -> TPSModel:
-    """``tps_fit`` with the production big-n fallback: when the knot count
-    would blow the device eigh's HBM workspace (BASELINE config 3's
-    10k x 19 shape on one chip), factorise on the host in f64
-    (ops/host_tps.py) and keep the heavy prediction streaming on device —
-    the split the module docstring of host_tps.py documents.  Single- and
-    multi-response; no mask support (dense rows only)."""
-    limit = max_device_knots
-    if limit is None:
-        import jax as _jax
+                 max_device_knots: int | None = None, method: str = "auto",
+                 landmarks: int | None = None, key=None, mask=None) -> TPSModel:
+    """``tps_fit`` with the production scale policy (BASELINE configs 3-5).
 
-        limit = (
-            MAX_DEVICE_EIGH_KNOTS
-            if _jax.default_backend() != "cpu"
-            else 1 << 62
+    Routing (``method="auto"``):
+
+    * n <= ``max_device_knots`` (default 8192, the device-eigh HBM ceiling):
+      **exact** dense factorisation (ops/tps.py, one GCV eigendecomposition).
+    * n above the ceiling: **Nyström reduced-basis fit** (ops/nystrom.py)
+      with ``landmarks`` centers (default 2048 up to 64k stations, 4096
+      beyond).  This is a deliberate default, not just an OOM fallback —
+      measured at the config-3 shape (10k stations x 19 responses, one v5e
+      chip, round 3): exact host-f64 717 s vs Nyström-2048 10.3 s (70x).
+      Measured against the exact fit directly (benchmarks/nystrom_vs_exact.py,
+      6k stations x 2 responses, 2048 landmarks): the Nyström surface
+      reproduces the exact fit's held-out predictions to R^2 >= 0.9998, and
+      its held-out error against truth stays within 1.4x of the exact
+      fit's — both being ~1% of the signal scale, i.e. noise-floor
+      differences.  At TPS smoothing scales the reduced basis is not a
+      meaningful accuracy sacrifice; the O(n^3) exact path is.
+
+    ``method="exact"`` forces the dense factorisation at any n: on device
+    below the HBM ceiling, else the f64 host path (ops/host_tps.py) — on
+    EVERY backend, including CPU, where LAPACK f64 is both faster and more
+    GCV-accurate than the f32 device-path twin (round-3 ADVICE).
+    ``method="nystrom"`` forces the reduced-basis fit at any n.
+
+    Dense rows only: ``mask`` raises (use tps_factor/tps_solve's mask-exact
+    batching for padded tiles — the mltps tile path)."""
+    if mask is not None:
+        raise ValueError(
+            "tps_fit_auto fits dense rows only; use tps_factor(coords, mask) "
+            "+ tps_solve for the masked/padded-tile path"
         )
+    limit = MAX_DEVICE_EIGH_KNOTS if max_device_knots is None else max_device_knots
     n = coords.shape[0]
+    if method == "auto":
+        method = "exact" if n <= limit else "nystrom"
+    if method == "nystrom":
+        from .nystrom import nystrom_tps_fit
+
+        m = landmarks if landmarks is not None else (2048 if n <= 65536 else 4096)
+        return nystrom_tps_fit(coords, y, m=min(m, n), lam=lam, key=key)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
     if n <= limit:
         return tps_fit(coords, y, lam=lam, ngrid=ngrid, refine=refine)
     from .host_tps import tps_fit_host

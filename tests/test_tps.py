@@ -194,10 +194,14 @@ def test_pairwise_r2_no_expansion_cancellation():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
-def test_tps_fit_auto_routes_big_problems_to_host(rng):
-    """Round-3 (VERDICT next #5): past the device-eigh HBM ceiling the
-    factorisation must fall back to the f64 host path and agree with the
-    device fit — the BASELINE config-3 full-spec mechanism."""
+def test_tps_fit_auto_scale_policy(rng):
+    """Round-4 (VERDICT next #5): tps_fit_auto's written scale policy —
+    exact dense factorisation up to the device-eigh ceiling, Nyström
+    reduced basis beyond it by default, method='exact' forcing the f64
+    host path at any n (on every backend, round-3 ADVICE), and a loud
+    error for the unsupported mask."""
+    import pytest
+
     from machisplin_tpu.ops.tps import tps_fit, tps_fit_auto, tps_predict
 
     coords = rng.uniform(0, 1, (120, 2))
@@ -206,13 +210,33 @@ def test_tps_fit_auto_routes_big_problems_to_host(rng):
         np.cos(2 * coords[:, 1]) + 0.05 * rng.standard_normal(120),
     ], axis=1)
     dev = tps_fit(jnp.asarray(coords), jnp.asarray(y))
-    # force the fallback by shrinking the threshold
-    host = tps_fit_auto(jnp.asarray(coords), jnp.asarray(y), max_device_knots=50)
     pts = jnp.asarray(rng.uniform(0.05, 0.95, (40, 2)))
+
+    # below the ceiling auto IS the exact device fit
+    small = tps_fit_auto(jnp.asarray(coords), jnp.asarray(y), max_device_knots=1000)
+    np.testing.assert_allclose(np.asarray(small.c), np.asarray(dev.c), rtol=1e-6)
+
+    # above the ceiling auto routes to the Nyström reduced basis ...
+    nys = tps_fit_auto(
+        jnp.asarray(coords), jnp.asarray(y), max_device_knots=50, landmarks=64
+    )
+    assert nys.knots.shape[0] == 64  # landmark basis, not the full knot set
+    np.testing.assert_allclose(
+        np.asarray(tps_predict(nys, pts)), np.asarray(tps_predict(dev, pts)),
+        rtol=0.05, atol=0.05,
+    )
+
+    # ... and method='exact' forces the f64 host factorisation instead
+    host = tps_fit_auto(
+        jnp.asarray(coords), jnp.asarray(y), max_device_knots=50, method="exact"
+    )
+    assert host.knots.shape[0] == 120
     np.testing.assert_allclose(
         np.asarray(tps_predict(host, pts)), np.asarray(tps_predict(dev, pts)),
         rtol=1e-3, atol=1e-4,
     )
-    # and below the threshold it is exactly the device fit
-    small = tps_fit_auto(jnp.asarray(coords), jnp.asarray(y), max_device_knots=1000)
-    np.testing.assert_allclose(np.asarray(small.c), np.asarray(dev.c), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="dense rows only"):
+        tps_fit_auto(jnp.asarray(coords), jnp.asarray(y), mask=jnp.ones(120))
+    with pytest.raises(ValueError, match="unknown method"):
+        tps_fit_auto(jnp.asarray(coords), jnp.asarray(y), method="bogus")
