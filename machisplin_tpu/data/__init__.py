@@ -14,14 +14,33 @@ import os
 
 import numpy as np
 
-__all__ = ["load_sampling", "example_grid", "synthetic_covariates"]
+__all__ = ["load_sampling", "load_example_dat", "example_grid", "synthetic_covariates"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def load_sampling() -> np.ndarray:
-    """Structured array with fields long, lat, bio_1, bio_12 (813 rows)."""
+def load_sampling(source: str = "csv") -> np.ndarray:
+    """Structured array with fields long, lat, bio_1, bio_12 (813 rows).
+
+    ``source="rdata"`` decodes the bundled R serialization
+    (data/sampling.RData, the object ``data(sampling)`` loads) through the
+    native reader in io/rdata.py instead of the CSV twin — the two agree
+    exactly (tested)."""
+    if source == "rdata":
+        from ..io.rdata import read_rdata
+
+        return read_rdata(os.path.join(_HERE, "sampling.RData"))["sampling"]
     return np.genfromtxt(os.path.join(_HERE, "sampling.csv"), delimiter=",", names=True)
+
+
+def load_example_dat() -> np.ndarray:
+    """The reference's second bundled fixture, ``data(example.dat)``
+    (/root/reference/data/example.dat.Rdata; documented in R/data.R:20-38) —
+    the same 813-station table as ``sampling`` under the name the README's
+    Example 1 uses.  Decoded natively (io/rdata.py); no R runtime needed."""
+    from ..io.rdata import read_rdata
+
+    return read_rdata(os.path.join(_HERE, "example.dat.Rdata"))["example.dat"]
 
 
 def example_grid(downsample: int = 1):

@@ -191,3 +191,27 @@ def test_write_residuals_and_loadings(tmp_path, rng):
     (lpath,) = write_loadings(res, str(tmp_path))
     text = open(lpath).read()
     assert "$gam" in text and "$nn" in text and "(Intercept)" in text
+
+
+def test_rdata_reader_decodes_bundled_fixtures():
+    """The native RDX2/XDR reader (io/rdata.py) must decode the reference's
+    actual R serializations — data/sampling.RData and data/example.dat.Rdata
+    (R/data.R:1-38) — and agree with the shipped CSV twin exactly."""
+    from machisplin_tpu.data import load_example_dat, load_sampling
+
+    csv = load_sampling()
+    rdat = load_sampling(source="rdata")
+    ex = load_example_dat()
+    assert rdat.shape == (813,) and ex.shape == (813,)
+    for name in ("long", "lat", "bio_1", "bio_12"):
+        np.testing.assert_allclose(np.asarray(rdat[name], float), csv[name], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ex[name], float), csv[name], atol=1e-9)
+
+
+def test_rdata_reader_rejects_non_rdata(tmp_path):
+    from machisplin_tpu.io.rdata import read_rdata
+
+    p = tmp_path / "bogus.RData"
+    p.write_bytes(b"not an rdata file")
+    with pytest.raises(ValueError, match="RDX2"):
+        read_rdata(str(p))
