@@ -35,6 +35,21 @@ import numpy as np
 import pytest
 
 
+# the documented fast verify subset (`pytest -m quick`, ~3.5 min warm-cache
+# vs ~25-30 min full on this single core): substrate + numerics coverage
+# without the heavy pipeline/mesh integration walls
+_QUICK_MODULES = {
+    "test_grid", "test_io", "test_aux", "test_feather",
+    "test_tps", "test_nystrom", "test_ensemble", "test_goldens",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
 def pytest_configure(config):
     if not _NEED_REEXEC:
         return

@@ -11,8 +11,10 @@ What is asserted and why:
 * fitted R^2 to 1e-5 — the BASELINE metric, invariant to kernel scaling;
 * eff.df (equivalent degrees of freedom) to 0.5% — pins the GCV lambda
   selection itself, also scaling-invariant;
-* fitted values at the first 20 stations to 1e-4 relative — pins the
-  solved surface, not just its summary;
+* fitted values at the first 20 stations to 1e-2 of the response spread
+  (atol = 1e-2 x sd, plus rtol 1e-3) — pins the solved surface, not just
+  its summary, while leaving room for the f32-device vs f64-fields
+  accumulation gap at bio_12's ~1e3 response scale;
 * raw lambda is NOT compared: fields' radial basis carries a constant
   factor relative to phi(r) = r^2 log r, which rescales lambda while
   leaving the fit identical.
@@ -76,4 +78,5 @@ def test_tps_fitted_values_match_fields(r_golden, station_fits, col):
     want = np.asarray(r_golden["tps"][col]["fitted_head"], np.float64)
     got = station_fits[col]["fitted_head"]
     scale = np.std(want) + 1e-12
-    np.testing.assert_allclose(got, want, atol=1e-4 * scale * 100, rtol=1e-3)
+    # 1e-2 of the response spread + 1e-3 relative (module docstring)
+    np.testing.assert_allclose(got, want, atol=1e-2 * scale, rtol=1e-3)
