@@ -121,7 +121,8 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins)
 
 
-def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *, p_real):
+def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
+            p_real, mdtype):
     """One (cell block, leaf chunk) tile: membership AND-product + matvec.
 
     Layout: cells ride the LANE axis throughout — bin indices are (1, mb),
@@ -131,6 +132,14 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *, p_rea
     lanes: 128x the surface in HBM).  Bin indices are computed once per
     cell block into VMEM scratch (the leaf-chunk axis is innermost, so
     scratch persists across its steps) rather than once per leaf chunk.
+
+    ``mdtype``: the membership-algebra dtype.  bfloat16 is EXACT here —
+    every quantity is a small integer (bin indices and interval bounds are
+    <= b_pad <= 256, masks are 0/1, and bf16 represents integers to 256
+    exactly; the bin-index SUM runs in f32 before the cast) — while
+    halving the (tn, mb) mask traffic, the kernel's dominant cost.  The
+    final leaf-value matvec always accumulates in f32 (values are the
+    precision-doctrine path).
     """
     j = pl.program_id(1)
 
@@ -141,17 +150,20 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *, p_rea
                 (x_ref[f : f + 1, :] > etab_ref[:, f : f + 1]).astype(jnp.float32),
                 axis=0,
                 keepdims=True,
-            )
+            ).astype(mdtype)
 
     sel = None
     for f in range(p_real):
         binf = bins_ref[f : f + 1, :]                         # (1, mb)
         ok = (
             (binf >= lo_ref[:, f : f + 1]) & (binf <= hi_ref[:, f : f + 1])
-        ).astype(jnp.float32)                                 # (tn, mb)
+        ).astype(mdtype)                                      # (tn, mb)
         sel = ok if sel is None else sel * ok
+    # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
+    # for the matvec — same masks as the all-f32 kernel, agreeing to the
+    # f32 dot's accumulation order
     contrib = jnp.dot(
-        wv_ref[:], sel,
+        wv_ref[:], sel.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                         # (1, mb)
@@ -166,10 +178,15 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *, p_rea
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p_real", "m_real", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=(
+        "p_real", "m_real", "use_pallas", "interpret", "membership_dtype",
+        "cell_block", "leaf_chunk",
+    ),
 )
 def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
-                  interpret=False):
+                  interpret=False, membership_dtype="float32",
+                  cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK):
     m_pad = x_pad.shape[0]
     tl_pad = lo.shape[1]
     if not use_pallas:
@@ -183,51 +200,62 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
         sel = jnp.all(ok, axis=1).astype(jnp.float32)         # (m, TL)
         return (sel @ wv)[:m_real, 0]
 
-    kernel = functools.partial(_kernel, p_real=p_real)
+    mdtype = jnp.dtype(membership_dtype)
+    kernel = functools.partial(_kernel, p_real=p_real, mdtype=mdtype)
     b_pad = etab.shape[1]
     f_pad = x_pad.shape[1]
+    while tl_pad % leaf_chunk:  # tables pad to _LEAF_CHUNK multiples
+        leaf_chunk //= 2
     out = pl.pallas_call(
         kernel,
-        grid=(m_pad // _CELL_BLOCK, tl_pad // _LEAF_CHUNK),
+        grid=(m_pad // cell_block, tl_pad // leaf_chunk),
         in_specs=[
             pl.BlockSpec((b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (f_pad, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (f_pad, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_LEAF_CHUNK, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_LEAF_CHUNK, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _LEAF_CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (1, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _CELL_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (1, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((f_pad, _CELL_BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((f_pad, cell_block), mdtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * tl_pad * p_real + 2 * m_pad * tl_pad,
             bytes_accessed=4 * (m_pad * f_pad + 3 * tl_pad * f_pad + m_pad),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(etab.T, x_pad.T, lo.T, hi.T, wv.T)
+    )(etab.T, x_pad.T, lo.T.astype(mdtype), hi.T.astype(mdtype), wv.T)
     return out[0, :m_real]
 
 
 def forest_predict_bins(
     trees, x, weights, tables: LeafBinTables | None = None,
     use_pallas: bool | None = None, interpret: bool = False,
+    membership_dtype: str = "bfloat16",
+    cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
 ) -> jax.Array:
     """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
 
     ``weights`` may be traced (e.g. lr * active-tree mask); the bin-interval
     tables are weight-independent, so pass precomputed ``tables`` when
     predicting many blocks from one forest.
+
+    ``membership_dtype``: dtype of the kernel's membership algebra.  The
+    bfloat16 default is EXACT (bin indices/bounds are integers <= 256,
+    masks are 0/1; the value matvec stays f32 — see _kernel) and halves
+    the dominant (leaves, cells) mask traffic.  ``cell_block``/
+    ``leaf_chunk`` are tuning knobs for the kernel sweep.
     """
     x = jnp.asarray(x, jnp.float32)
     m, p = x.shape
@@ -235,6 +263,8 @@ def forest_predict_bins(
         tables = build_leaf_bins(trees, n_feat=p)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if jnp.dtype(membership_dtype) == jnp.bfloat16 and tables.n_bins > 256:
+        membership_dtype = "float32"  # bf16 integers are exact only to 256
 
     w = jnp.asarray(weights, jnp.float32)
     # weighted value of each leaf slot; padded slots (tree -1) get weight 0
@@ -243,7 +273,7 @@ def forest_predict_bins(
         * jnp.where(tables.leaf_tree >= 0, w[tables.leaf_tree], 0.0)
     )[:, None].astype(jnp.float32)
 
-    m_pad = _round_up(max(m, 1), _CELL_BLOCK)
+    m_pad = _round_up(max(m, 1), cell_block)
     x_pad = jnp.pad(x, ((0, m_pad - m), (0, tables.etab.shape[0] - p)))
     return _predict_impl(
         jnp.asarray(tables.etab),
@@ -255,4 +285,7 @@ def forest_predict_bins(
         m_real=m,
         use_pallas=use_pallas,
         interpret=interpret,
+        membership_dtype=membership_dtype,
+        cell_block=cell_block,
+        leaf_chunk=leaf_chunk,
     )
