@@ -226,6 +226,36 @@ def test_tiles_create_and_merge(rng):
     assert np.abs(np.diff(arr, axis=1)).max() < 1.0
 
 
+def test_tiled_pipeline_through_the_mesh(rng):
+    """Round-4 (VERDICT next #4): the large-landscape workflow — tiles_create
+    -> mltps per tile -> tiles_merge (README.md:157-215) — runs end-to-end
+    WITH a device mesh: every tile's CV batch, raster panels (incl. the
+    shard_mapped forest predictors), and TPS tiles shard across the 8
+    virtual devices.  The merged mosaic must cover the full extent, be
+    finite, and reproduce the stations."""
+    import jax
+
+    from machisplin_tpu.parallel import make_mesh
+
+    pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    g, stack, dat, resp = make_world(rng, nrows=64, ncols=64, n=260)
+    tiles = tiles_create(stack, dat, out_ncol=2, out_nrow=2, feather_d=8)
+    cfg = dataclasses.replace(FAST, mesh=make_mesh(8), tps_tile_px=40)
+    finals = []
+    for rast_t, dat_t in zip(tiles.rast, tiles.dat):
+        out_t = mt.mltps(dat_t, rast_t, tps=True, config=cfg)
+        assert np.isfinite(np.asarray(out_t[0].final.data)).all()
+        finals.append(out_t[0].final)
+    merged = tiles_merge(finals, g, in_ncol=2, in_nrow=2)
+    arr = np.asarray(merged.data)
+    assert arr.shape == g.shape and np.isfinite(arr).all()
+    at = np.asarray(extract(merged, dat["long"], dat["lat"]))
+    r2 = 1 - np.nansum((resp - at) ** 2) / np.sum((resp - resp.mean()) ** 2)
+    assert r2 > 0.9, f"meshed tiled pipeline lost accuracy: r2={r2}"
+
+
 def test_mltps_writers_integration(tmp_path, rng):
     g, stack, dat, _ = make_world(rng, n=120)
     out = mt.mltps(dat, stack, tps=False, config=FAST)
