@@ -176,18 +176,11 @@ def config4(jax, jnp):
     }
 
 
-def config4_pipeline(jax, jnp):
-    """Config 4 through the ACTUAL tiled ensemble pipeline (VERDICT r2 #6):
-    tiles_create -> mltps per tile -> tiles_merge over a 1e8-cell landscape
-    (the README.md:157-215 large-landscape workflow), with the ensemble CV
-    reduced (documented below) so one chip finishes in minutes; the raster
-    volume is the full spec.  2x2 tiles bound the tunnel's per-shape
-    compile diversity (each tile's station count is its own program shape).
-    """
-    import machisplin_tpu as mt
-    from machisplin_tpu.ensemble import CVConfig
+def _config4_world():
+    """The shared 1e8-cell landscape + 4000 stations of the config-4
+    pipeline runs (identical construction for the reduced and the
+    full-hyperparameter variants)."""
     from machisplin_tpu.grid import GridSpec, Raster, extract
-    from machisplin_tpu.pipeline.tiles import tiles_create, tiles_merge
 
     rng = np.random.default_rng(7)
     side = 10000                                   # 1e8 cells
@@ -211,6 +204,81 @@ def config4_pipeline(jax, jnp):
         + 0.2 * rng.standard_normal(n_stations)
     )
     dat = np.rec.fromarrays([lon, lat, resp], names="long,lat,bio_1")
+    return g, covars, dat, n_stations
+
+
+def config4_pipeline_full(jax, jnp):
+    """Config 4's tiled pipeline at the REFERENCE hyperparameters (round-3
+    VERDICT #4): 10 folds, CV BRT tc=25/lr=.01, RF 500 trees, NN
+    maxit=10000, final BRT tc=5/lr=.001 — exactly MLTPSConfig()'s defaults,
+    which mirror every V73 call site.  Tiles are independent and the four
+    station counts are near-equal (984-1047), so ONE tile is run at full
+    config and the 4-tile wall extrapolates as
+
+        end_to_end ~= tiles_create + 4 x tile1_wall + tiles_merge
+
+    with tiles_create/tiles_merge taken from this run (raster volume is the
+    full 1e8 cells either way)."""
+    import machisplin_tpu as mt
+    from machisplin_tpu.pipeline.tiles import tiles_create, tiles_merge
+
+    g, covars, dat, n_stations = _config4_world()
+    cfg = mt.MLTPSConfig()   # reference defaults at every call site
+
+    t0 = time.perf_counter()
+    tiles = tiles_create(covars, dat, out_ncol=2, out_nrow=2, feather_d=50)
+    t_tiles = time.perf_counter() - t0
+
+    rt, dt_ = tiles.rast[0], tiles.dat[0]
+    t1 = time.perf_counter()
+    out = mt.mltps(dt_, rt, tps=True, config=cfg, key=jax.random.PRNGKey(100))
+    t_tile1 = time.perf_counter() - t1
+
+    # merge cost measured with the real tile-1 surface replicated into the
+    # other slots (same raster volume and geometry as the true merge)
+    finals = [out[0].final] + [
+        mt.Raster(out[0].final.data, t.grid) for t in tiles.rast[1:]
+    ]
+    t0 = time.perf_counter()
+    merged = tiles_merge(
+        [mt.Raster(f.data, t.grid) for f, t in zip(finals, tiles.rast)],
+        g, in_ncol=2, in_nrow=2,
+    )
+    checksum = _force(merged.data)
+    t_merge = time.perf_counter() - t0
+    return {
+        "config": "4_pipeline_full",
+        "shape": f"{n_stations} stations, {g.ncell/1e6:.0f} Mcells, 2x2 tiles, "
+                 "REFERENCE hyperparams (10 folds, CV BRT tc=25/lr=.01, "
+                 "RF 500, NN maxit=10000, final BRT tc=5/lr=.001)",
+        "tiles_create_s": round(t_tiles, 1),
+        "tile1_stations": int(len(dt_)),
+        "tile1_mltps_s": round(t_tile1, 1),
+        "tile1_r2_ensemble": round(float(out[0].summary["r2 ensemble:"]), 4),
+        "tile1_r2_final": round(float(out[0].summary.get("r2 final:", np.nan)), 4),
+        "tile1_kept": out[0].summary["best model(s):"],
+        "tiles_merge_s": round(t_merge, 1),
+        "extrapolated_end_to_end_s": round(t_tiles + 4 * t_tile1 + t_merge, 1),
+        "extrapolation": "tiles_create + 4 x tile1_mltps + tiles_merge "
+                         "(station counts 984-1047 across tiles)",
+        "checksum": checksum,
+    }
+
+
+def config4_pipeline(jax, jnp):
+    """Config 4 through the ACTUAL tiled ensemble pipeline (VERDICT r2 #6):
+    tiles_create -> mltps per tile -> tiles_merge over a 1e8-cell landscape
+    (the README.md:157-215 large-landscape workflow), with the ensemble CV
+    reduced (documented below) so one chip finishes in minutes; the raster
+    volume is the full spec.  2x2 tiles bound the tunnel's per-shape
+    compile diversity (each tile's station count is its own program shape).
+    See config4_pipeline_full for the reference-hyperparameter variant.
+    """
+    import machisplin_tpu as mt
+    from machisplin_tpu.ensemble import CVConfig
+    from machisplin_tpu.pipeline.tiles import tiles_create, tiles_merge
+
+    g, covars, dat, n_stations = _config4_world()
 
     cfg = mt.MLTPSConfig(
         cv=CVConfig(
@@ -374,9 +442,14 @@ def main():
         3: config3,
         4: config4,
         "4_pipeline": config4_pipeline,
+        "4_pipeline_full": config4_pipeline_full,
         "forest": forest_predict_1e8,
         5: config5,
     }
+    if args.only is None:
+        # the full-hyperparameter pipeline variant is opt-in (multi-hour
+        # tile fit); run with --only 4_pipeline_full
+        runs.pop("4_pipeline_full")
     for num, fn in runs.items():
         if args.only and str(num) != str(args.only):
             continue
