@@ -161,12 +161,13 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
         sel = ok if sel is None else sel * ok
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
     # for the matvec — same masks as the all-f32 kernel, agreeing to the
-    # f32 dot's accumulation order
+    # f32 dot's accumulation order.  wv carries one row per output column
+    # (R responses share the membership algebra; see build_leaf_bins_multi)
     contrib = jnp.dot(
         wv_ref[:], sel.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                                         # (1, mb)
+    )                                                         # (R, mb)
 
     @pl.when(j == 0)
     def _():
@@ -189,6 +190,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
                   cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK):
     m_pad = x_pad.shape[0]
     tl_pad = lo.shape[1]
+    n_out = wv.shape[1]
     if not use_pallas:
         # jnp twin of the kernel (CPU tests / non-TPU backends)
         bins = jnp.sum(
@@ -198,7 +200,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             bins[:, :, None] <= hi[None, :p_real, :]
         )
         sel = jnp.all(ok, axis=1).astype(jnp.float32)         # (m, TL)
-        return (sel @ wv)[:m_real, 0]
+        return (sel @ wv)[:m_real]                            # (m, R)
 
     mdtype = jnp.dtype(membership_dtype)
     kernel = functools.partial(_kernel, p_real=p_real, mdtype=mdtype)
@@ -221,22 +223,22 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
                 (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (n_out, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (n_out, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, m_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((f_pad, cell_block), mdtype)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * tl_pad * p_real + 2 * m_pad * tl_pad,
-            bytes_accessed=4 * (m_pad * f_pad + 3 * tl_pad * f_pad + m_pad),
+            flops=4 * m_pad * tl_pad * p_real + 2 * n_out * m_pad * tl_pad,
+            bytes_accessed=4 * (m_pad * f_pad + 3 * tl_pad * f_pad + n_out * m_pad),
             transcendentals=0,
         ),
         interpret=interpret,
     )(etab.T, x_pad.T, lo.T.astype(mdtype), hi.T.astype(mdtype), wv.T)
-    return out[0, :m_real]
+    return out[:, :m_real].T                                  # (m, R)
 
 
 def forest_predict_bins(
@@ -250,6 +252,13 @@ def forest_predict_bins(
     ``weights`` may be traced (e.g. lr * active-tree mask); the bin-interval
     tables are weight-independent, so pass precomputed ``tables`` when
     predicting many blocks from one forest.
+
+    ``weights`` may also be (T, R): R weighted reductions of the SAME tree
+    pool in one pass -> (m, R).  The membership algebra (the kernel's
+    dominant cost for a single response... and shared entirely here) runs
+    once; only the final matvec widens.  This is how the response-batched
+    gbm.step final models predict every response's raster in ONE grid
+    stream (pipeline/mltps + build_leaf_bins on the stacked tree pool).
 
     ``membership_dtype``: dtype of the kernel's membership algebra.  The
     bfloat16 default is EXACT (bin indices/bounds are integers <= 256,
@@ -267,15 +276,19 @@ def forest_predict_bins(
         membership_dtype = "float32"  # bf16 integers are exact only to 256
 
     w = jnp.asarray(weights, jnp.float32)
+    single = w.ndim == 1
+    wcols = w[:, None] if single else w                       # (T, R)
     # weighted value of each leaf slot; padded slots (tree -1) get weight 0
-    wv = (
-        trees.value[tables.leaf_tree, tables.leaf_node]
-        * jnp.where(tables.leaf_tree >= 0, w[tables.leaf_tree], 0.0)
-    )[:, None].astype(jnp.float32)
+    leaf_val = trees.value[tables.leaf_tree, tables.leaf_node]  # (TL,)
+    leaf_w = jnp.where(
+        (tables.leaf_tree >= 0)[:, None],
+        wcols[jnp.clip(tables.leaf_tree, 0, None)], 0.0,
+    )                                                          # (TL, R)
+    wv = (leaf_val[:, None] * leaf_w).astype(jnp.float32)
 
     m_pad = _round_up(max(m, 1), cell_block)
     x_pad = jnp.pad(x, ((0, m_pad - m), (0, tables.etab.shape[0] - p)))
-    return _predict_impl(
+    out = _predict_impl(
         jnp.asarray(tables.etab),
         x_pad,
         jnp.asarray(tables.lo),
@@ -289,3 +302,4 @@ def forest_predict_bins(
         cell_block=cell_block,
         leaf_chunk=leaf_chunk,
     )
+    return out[:, 0] if single else out

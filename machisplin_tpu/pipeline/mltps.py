@@ -626,19 +626,58 @@ def mltps(
                     **config.final_brt, mesh=config.mesh,
                 )
             p_feat = np.asarray(x).shape[1]
-            for j, i in enumerate(sel):
-                res_b = results_b[j]
-                imp = gbm_step.importance(res_b, covar_names)
-                tabs = _forest_tables(res_b.final.trees, p_feat, config.mesh)
-                fn = lambda q, r=res_b, t=tabs: gbm_step.predict(r, q, tables=t)
-                fn.prefers_host = tabs is None
-                fn.manual_shard = True
-                with timer.phase(f"{names_sel[j]}/raster_predict_b"):
-                    surf = predict_over_stack(
-                        fn, rast_stack, config.predict_block_rows,
-                        mesh=config.mesh,
+            imps_b = [gbm_step.importance(r, covar_names) for r in results_b]
+            # merge every response's forest into ONE leaf table: the kernel's
+            # membership algebra runs once per grid pass with a (T_total, R)
+            # weight matrix zeroing foreign trees — one raster stream for ALL
+            # responses instead of R (fit_multi budgets are shared, so the
+            # per-response tree arrays stack directly)
+            merged_trees = jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=0),
+                *[r.final.trees for r in results_b],
+            )
+            tabs = _forest_tables(merged_trees, p_feat, config.mesh)
+            if tabs is not None:
+                from ..ops.pallas_forest import forest_predict_bins
+
+                t_each = results_b[0].final.tree_active.shape[0]
+                wmat = np.zeros((t_each * len(sel), len(sel)), np.float32)
+                for j, r in enumerate(results_b):
+                    wmat[j * t_each : (j + 1) * t_each, j] = (
+                        np.asarray(r.final.tree_active) * float(r.final.lr)
                     )
-                _accumulate(i, letter, surf, fn(x), imp)
+                f0s = jnp.asarray(
+                    [float(r.final.f0) for r in results_b], jnp.float32
+                )
+                wmat_d = jnp.asarray(wmat)
+                bfn = lambda q: (
+                    forest_predict_bins(merged_trees, q, wmat_d, tables=tabs)
+                    + f0s[None, :]
+                )
+                bfn.manual_shard = True
+                with timer.phase(f"raster_predict_b_x{len(sel)}"):
+                    bsurf = predict_over_stack(
+                        bfn, rast_stack, config.predict_block_rows,
+                        mesh=config.mesh, out_cols=len(sel),
+                    )
+                for j, i in enumerate(sel):
+                    _accumulate(
+                        i, letter, bsurf[..., j],
+                        jnp.asarray(results_b[j].final.train_fit), imps_b[j],
+                    )
+                del bsurf
+            else:
+                # single-device CPU: the C++ host predictor per response
+                for j, i in enumerate(sel):
+                    res_b = results_b[j]
+                    fn = lambda q, r=res_b: gbm_step.predict(r, q)
+                    fn.prefers_host = True
+                    with timer.phase(f"{names_sel[j]}/raster_predict_b"):
+                        surf = predict_over_stack(
+                            fn, rast_stack, config.predict_block_rows,
+                            mesh=config.mesh,
+                        )
+                    _accumulate(i, letter, surf, fn(x), imps_b[j])
         else:
             for i in sel:
                 name = resp_names[i]

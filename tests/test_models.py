@@ -500,6 +500,39 @@ def test_bin_interval_forest_predict_matches_gather(rng):
     np.testing.assert_allclose(rf_bins, a_rf, rtol=1e-5, atol=1e-6)
 
 
+def test_bin_interval_multi_response_weights(rng):
+    """(T, R) weight matrices: R weighted reductions of one stacked tree
+    pool in a single pass (the response-batched gbm.step raster path).
+    Each column must equal the corresponding single-forest prediction —
+    jnp twin and interpret-mode kernel."""
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+
+    x, y1 = make_data(rng, n=200)
+    y2 = jnp.asarray(
+        np.asarray(x)[:, 0] * 2 - np.cos(3 * np.asarray(x)[:, 1])
+        + 0.1 * rng.standard_normal(200)
+    )
+    s1 = brt.fit(jax.random.PRNGKey(1), x, y1, n_trees=30, n_splits=3, lr=0.1)
+    s2 = brt.fit(jax.random.PRNGKey(2), x, y2, n_trees=30, n_splits=3, lr=0.1)
+    merged = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), s1.trees, s2.trees
+    )
+    wmat = np.zeros((60, 2), np.float32)
+    wmat[:30, 0] = np.asarray(s1.tree_active) * 0.1
+    wmat[30:, 1] = np.asarray(s2.tree_active) * 0.1
+    xq = jnp.asarray(rng.uniform(0, 1, (300, x.shape[1])))
+    tabs = build_leaf_bins(merged, n_feat=x.shape[1])
+    for kw in (dict(use_pallas=False), dict(use_pallas=True, interpret=True)):
+        out = np.asarray(
+            forest_predict_bins(merged, xq, jnp.asarray(wmat), tables=tabs, **kw)
+        )
+        assert out.shape == (300, 2)
+        want1 = np.asarray(brt.predict(s1, xq)) - float(s1.f0)
+        want2 = np.asarray(brt.predict(s2, xq)) - float(s2.f0)
+        np.testing.assert_allclose(out[:, 0], want1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out[:, 1], want2, rtol=1e-5, atol=1e-5)
+
+
 def test_gam_smooth_recovers_nonlinear_additive(rng):
     """The opt-in P-spline GAM (SURVEY §7's "true GAM" extension) must
     recover a smooth nonlinear additive signal that the reference's

@@ -256,6 +256,36 @@ def test_tiled_pipeline_through_the_mesh(rng):
     assert r2 > 0.9, f"meshed tiled pipeline lost accuracy: r2={r2}"
 
 
+def test_mltps_batched_brt_finals_over_mesh(rng):
+    """Round-4 (VERDICT next #3): with multiple responses keeping BRT,
+    mltps routes the final fits through gbm_step.fit_multi and the raster
+    panels through ONE merged-forest pass (a (T_total, R) weight matrix on
+    the shared leaf table), sharded over the mesh.  trouble=True forces
+    kept='b' for every response (V73:446), making the path deterministic.
+    Must agree statistically with the serial single-device run."""
+    import jax
+
+    from machisplin_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    g, stack, dat, resp = make_world(rng, nrows=40, ncols=36, n=220, two_layers=True)
+    cfg_mesh = dataclasses.replace(FAST, mesh=make_mesh(8))
+    out_m = mt.mltps(dat, stack, tps=False, trouble=True, config=cfg_mesh)
+    cfg_serial = dataclasses.replace(FAST, batch_final_brt=False)
+    out_s = mt.mltps(dat, stack, tps=False, trouble=True, config=cfg_serial)
+    assert len(out_m) == 2
+    for rm, rs in zip(out_m, out_s):
+        assert rm.summary["best model(s):"] == "b"
+        am = np.asarray(rm.final.data)
+        assert np.isfinite(am).all()
+        r2_m = rm.summary["r2 ensemble:"]
+        r2_s = rs.summary["r2 ensemble:"]
+        assert r2_m == pytest.approx(r2_s, abs=0.05), (
+            f"{rm.name}: batched+meshed BRT drifted from serial ({r2_m} vs {r2_s})"
+        )
+
+
 def test_mltps_writers_integration(tmp_path, rng):
     g, stack, dat, _ = make_world(rng, n=120)
     out = mt.mltps(dat, stack, tps=False, config=FAST)
