@@ -361,17 +361,35 @@ def _tps_tiles(grid: GridSpec, config: MLTPSConfig):
     return n_rx, n_cx, fit_exts, mosaic_exts
 
 
-def _tps_error_surface(coords, res_final, rast_stack: Raster, config: MLTPSConfig):
-    """Part 3+4: tiled TPS of residuals, feathered into one surface."""
+def _tps_error_surface(coords, res_mat, rast_stack: Raster, config: MLTPSConfig):
+    """Part 3+4: tiled TPS of residuals, feathered into one surface.
+
+    ``res_mat`` is (n,) or (n, R): EVERY response's residual field solves
+    through ONE factorisation batch (the station coordinates — and hence
+    the tile kernel matrices — are shared across responses; only the
+    right-hand sides differ, V73:688's Full.cords observation made
+    structural), and the R surfaces ride the band axis through crop/
+    feather/mosaic.  Returns a Raster with data (R, H, W)."""
     grid = rast_stack.grid
     n_rx, n_cx, fit_exts, mosaic_exts = _tps_tiles(grid, config)
     n_tiles = n_rx * n_cx
     dtype = rast_stack.data.dtype
+    res_mat = np.asarray(res_mat)
+    single = res_mat.ndim == 1
+    if single:
+        res_mat = res_mat[:, None]
+    n_resp = res_mat.shape[1]
+
+    def to_bands(surf):  # (rows, cols, R) -> (R, rows, cols)
+        return jnp.moveaxis(surf, -1, 0)
+
+    def out(r: Raster):  # 1-D input keeps the legacy (H, W) contract
+        return Raster(r.data[0], r.grid, r.names) if single else r
 
     if n_tiles == 1:
-        model = tps_fit(jnp.asarray(coords, dtype), jnp.asarray(res_final, dtype))
+        model = tps_fit(jnp.asarray(coords, dtype), jnp.asarray(res_mat, dtype))
         surf = tps_predict_grid(model, grid, use_pallas=config.use_pallas)
-        return Raster(surf, grid), n_tiles
+        return out(Raster(to_bands(surf), grid)), n_tiles
 
     first_layer = rast_stack.band(0)
     crops = [crop(first_layer, fit_exts[h]) for h in range(n_tiles)]
@@ -382,33 +400,38 @@ def _tps_error_surface(coords, res_final, rast_stack: Raster, config: MLTPSConfi
         sels.append(np.isfinite(vals))
 
     if config.tps_batch_tiles:
-        surfs = _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype)
+        surfs = _batched_tile_surfaces(coords, res_mat, crops, sels, config, dtype)
     else:
         surfs = []
         for h, (rb, sel) in enumerate(zip(crops, sels)):
             if int(sel.sum()) < config.min_tile_points:
                 log.info("tile %d: %d points -> zero surface", h + 1, int(sel.sum()))
-                surfs.append(Raster(jnp.zeros(rb.grid.shape, dtype), rb.grid))
+                surfs.append(
+                    Raster(jnp.zeros((n_resp,) + rb.grid.shape, dtype), rb.grid)
+                )
             else:
                 model = tps_fit(
-                    jnp.asarray(coords[sel], dtype), jnp.asarray(res_final[sel], dtype)
+                    jnp.asarray(coords[sel], dtype), jnp.asarray(res_mat[sel], dtype)
                 )
                 surf = tps_predict_grid(model, rb.grid, use_pallas=config.use_pallas)
-                surfs.append(Raster(surf, rb.grid))
+                surfs.append(Raster(to_bands(surf), rb.grid))
     tiles = [crop(s, mosaic_exts[h]) for h, s in enumerate(surfs)]
-    return feather_blend(tiles, n_rx, n_cx, grid), n_tiles
+    return out(feather_blend(tiles, n_rx, n_cx, grid)), n_tiles
 
 
-def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
+def _batched_tile_surfaces(coords, res_mat, crops, sels, config, dtype):
     """All TPS tiles as ONE vmapped masked factorisation + traced-origin
     prediction (parallel/sharded.py) instead of a serial per-tile loop —
     the TPU-native replacement for the reference's R loop (V73:690-738).
+    ``res_mat`` is (n, R): responses batch in the factorisation's trailing
+    matmul dimension; each returned Raster carries (R, rows, cols).
 
     Tiles below the <10-point threshold become zero surfaces (V73:710-721).
     Edge tiles are smaller than interior ones; all evaluate at the maximal
     tile shape (traced origins) and crop down afterwards."""
     from ..parallel.sharded import batched_tile_solve, pack_tiles
 
+    n_resp = res_mat.shape[1]
     n_tiles = len(crops)
     live = [h for h in range(n_tiles) if int(sels[h].sum()) >= config.min_tile_points]
     for h in range(n_tiles):
@@ -417,13 +440,15 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
     surfs: list = [None] * n_tiles
     for h in range(n_tiles):
         if h not in live:
-            surfs[h] = Raster(jnp.zeros(crops[h].grid.shape, dtype), crops[h].grid)
+            surfs[h] = Raster(
+                jnp.zeros((n_resp,) + crops[h].grid.shape, dtype), crops[h].grid
+            )
     if not live:
         return surfs
 
     budget = -(-max(int(sels[h].sum()) for h in live) // 64) * 64
     c_list = [coords[sels[h]] for h in live]
-    y_list = [res_final[sels[h]] for h in live]
+    y_list = [res_mat[sels[h]] for h in live]
     ct, yt, mt_ = pack_tiles(c_list, y_list, pad_to=budget)
     ct = ct.astype(dtype)
     yt = yt.astype(dtype)
@@ -456,10 +481,12 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
             ct, yt, mt_, origins,
             tile_shape=(rows_max, cols_max), cell=(g0.dx, g0.dy),
             mesh=config.mesh,
-        )
+        )                               # (T, rows, cols, R)
         for i, h in enumerate(live):
             g = crops[h].grid
-            surfs[h] = Raster(out[i][: g.nrows, : g.ncols], g)
+            surfs[h] = Raster(
+                jnp.moveaxis(out[i][: g.nrows, : g.ncols], -1, 0), g
+            )
         return surfs
 
     # solves batch (vmapped masked factorisations); predictions stream per
@@ -476,7 +503,7 @@ def _batched_tile_surfaces(coords, res_final, crops, sels, config, dtype):
         model_i = jax.tree.map(lambda a: a[i % chunk], m_chunk)
         g = crops[h].grid
         surf = tps_predict_grid(model_i, g, use_pallas=config.use_pallas)
-        surfs[h] = Raster(surf, g)
+        surfs[h] = Raster(jnp.moveaxis(surf, -1, 0), g)
     return surfs
 
 
@@ -693,6 +720,28 @@ def mltps(
                     )
                 _accumulate(i, letter, surf, predict_fn(x), imp)
 
+    # assemble each response's weighted ensemble (cheap raster algebra),
+    # pulled ahead of part 3 so the TPS of residuals can batch EVERY
+    # response through one factorisation (shared station coordinates)
+    ens_rasters, res_finals = [], []
+    for i, (name, y_np) in enumerate(responses.items()):
+        wres = wres_all[i]
+        total = wres.weight_total if not trouble else 1.0
+        ens_rasters.append(
+            Raster(pred_accs[i] / total, rast_stack.grid, (name,))
+        )  # V73:619 quirk: unrounded total
+        res_finals.append(np.asarray(res_accs[i]) / total)   # V73:620
+        pred_accs[i] = None  # free the accumulator once consumed
+
+    tps_multi = None
+    if tps:
+        log.info("=== part 3/4 — TPS error surfaces (all responses) ===")
+        with timer.phase(f"tps_x{n_resp}"):
+            tps_multi, n_tiles = _tps_error_surface(
+                coords, np.stack(res_finals, axis=1), rast_stack, config
+            )
+        log.info("TPS tiled across %d tile(s)", n_tiles)
+
     results = []
     for i, (name, y_np) in enumerate(responses.items()):
         wres = wres_all[i]
@@ -700,18 +749,12 @@ def mltps(
         # per-algorithm importance in the response's kept-letter order (the
         # accumulation above runs letter-major)
         var_imp = {LETTER_TO_NAME[l]: var_imps[i][l] for l in kept}
-        pred_acc = pred_accs[i]
-        res_acc = res_accs[i]
-        pred_accs[i] = None  # free the accumulator once consumed
+        res_final = res_finals[i]
+        ens_raster = ens_rasters[i]
 
-        total = wres.weight_total if not trouble else 1.0
-        pred_ensemble = pred_acc / total          # V73:619 quirk: unrounded total
-        res_final = np.asarray(res_acc) / total   # V73:620
         tss = float(np.sum((y_np - y_np.mean()) ** 2))
         rss_m = float(np.sum(res_final**2))
         rsq_model = 1.0 - rss_m / tss
-        ens_raster = Raster(pred_ensemble, rast_stack.grid, (name,))
-
         residuals_out = np.stack([res_final, coords[:, 0], coords[:, 1]], axis=1)
         summary = {
             "layer": name,
@@ -723,10 +766,7 @@ def mltps(
         final_raster = ens_raster
         tps_raster = None
         if tps:
-            log.info("=== layer %s: part 3/4 — TPS error surface ===", name)
-            with timer.phase(f"{name}/tps"):
-                tps_raster, n_tiles = _tps_error_surface(coords, res_final, rast_stack, config)
-            log.info("TPS tiled across %d tile(s)", n_tiles)
+            tps_raster = Raster(tps_multi.data[i], rast_stack.grid, (name,))
             summed = ens_raster.data + tps_raster.data
             final_c = Raster(summed, rast_stack.grid, (name,))
             f_at = np.asarray(extract(final_c, coords[:, 0], coords[:, 1]))
@@ -742,7 +782,6 @@ def mltps(
             # keep the correction only if it improves R^2 (V73:925-930)
             if rsq_final > rsq_model:
                 final_raster = final_c
-        log.info("timing so far:\n%s", timer.report())
         results.append(
             LayerResult(
                 name=name,
@@ -756,4 +795,5 @@ def mltps(
                 weights=wres,
             )
         )
+    log.info("timing:\n%s", timer.report())
     return results
