@@ -154,9 +154,14 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
 
     sel = None
     for f in range(p_real):
-        binf = bins_ref[f : f + 1, :]                         # (1, mb)
+        # the COMPARES run in f32: Mosaic on v5e rejects packed-bf16 cmpf
+        # ("Target does not support this comparison", observed round 4).
+        # bf16's win is the STREAMED/STORED operands — the lo/hi tables,
+        # the bins scratch, and the (tn, mb) sel mask — not the compare op.
+        binf = bins_ref[f : f + 1, :].astype(jnp.float32)     # (1, mb)
         ok = (
-            (binf >= lo_ref[:, f : f + 1]) & (binf <= hi_ref[:, f : f + 1])
+            (binf >= lo_ref[:, f : f + 1].astype(jnp.float32))
+            & (binf <= hi_ref[:, f : f + 1].astype(jnp.float32))
         ).astype(mdtype)                                      # (tn, mb)
         sel = ok if sel is None else sel * ok
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
@@ -244,7 +249,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
 def forest_predict_bins(
     trees, x, weights, tables: LeafBinTables | None = None,
     use_pallas: bool | None = None, interpret: bool = False,
-    membership_dtype: str = "bfloat16",
+    membership_dtype: str = "float32",
     cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
 ) -> jax.Array:
     """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
@@ -260,10 +265,13 @@ def forest_predict_bins(
     gbm.step final models predict every response's raster in ONE grid
     stream (pipeline/mltps + build_leaf_bins on the stacked tree pool).
 
-    ``membership_dtype``: dtype of the kernel's membership algebra.  The
-    bfloat16 default is EXACT (bin indices/bounds are integers <= 256,
-    masks are 0/1; the value matvec stays f32 — see _kernel) and halves
-    the dominant (leaves, cells) mask traffic.  ``cell_block``/
+    ``membership_dtype``: dtype of the kernel's STORED membership operands
+    (lo/hi tables, bins scratch, sel mask; compares always run in f32 —
+    Mosaic v5e has no packed-bf16 cmpf).  bfloat16 is EXACT here (bin
+    indices/bounds are integers <= 256, masks are 0/1; the value matvec
+    stays f32 — see _kernel) and halves that traffic; the default stays
+    float32 until the on-chip sweep (benchmarks/forest_kernel_sweep.py)
+    blesses bf16 as faster with checksums intact.  ``cell_block``/
     ``leaf_chunk`` are tuning knobs for the kernel sweep.
     """
     x = jnp.asarray(x, jnp.float32)

@@ -477,17 +477,17 @@ def test_bin_interval_forest_predict_matches_gather(rng):
         )
     )
     np.testing.assert_allclose(kernel_path, a, rtol=1e-5, atol=1e-6)
-    # the bf16 membership algebra (round-4 kernel default) is EXACT — bin
-    # indices/bounds are integers <= 256 and masks are 0/1 (verified: zero
-    # mask flips vs f32) — so the two paths agree to the f32 matvec's
-    # accumulation order (the convert changes how XLA schedules the dot)
-    f32_path = np.asarray(
+    # the opt-in bf16 membership STORAGE (compares always run in f32 —
+    # Mosaic v5e rejects packed-bf16 cmpf) is EXACT: bin indices/bounds are
+    # integers <= 256 and masks are 0/1, so zero mask flips vs the f32
+    # default; the paths agree to the f32 matvec's accumulation order
+    bf16_path = np.asarray(
         forest_predict_bins(
             state.trees, xq, w, tables=tabs, use_pallas=True, interpret=True,
-            membership_dtype="float32",
+            membership_dtype="bfloat16",
         )
     )
-    np.testing.assert_allclose(kernel_path, f32_path, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(kernel_path, bf16_path, rtol=1e-6, atol=1e-7)
 
     rf_state = rf.fit(jax.random.PRNGKey(2), x, y, ntree=25, tree_chunk=5)
     a_rf = np.asarray(forest_predict(rf_state.trees, xq, rf_state.max_depth))
