@@ -37,8 +37,14 @@ def write_geotiff(
     out_names: Sequence[str] | None = None,
     overwrite: bool = True,
     seed: int | None = None,
+    overviews: bool | Sequence[int] = False,
 ):
-    """Write each layer's final raster + the summary CSV; returns paths."""
+    """Write each layer's final raster + the summary CSV; returns paths.
+
+    ``overviews=True`` additionally builds a GDAL-compatible ``<layer>.tif.ovr``
+    pyramid per raster (NaN-aware averaged levels; see io/overviews.py); pass
+    a list of decimation factors to choose the ladder explicitly.  Off by
+    default to mirror terra::writeRaster (V73:1011), which emits none."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, res in enumerate(results):
@@ -48,6 +54,13 @@ def write_geotiff(
             raise FileExistsError(path)
         write_geotiff_file(path, res.final)
         paths.append(path)
+        if overviews:
+            from .overviews import write_overviews
+
+            levels = None if overviews is True else list(overviews)
+            ovr = write_overviews(path, res.final, levels=levels)
+            if ovr:
+                paths.append(ovr)
 
     rng = random.Random(seed)
     csv_path = os.path.join(out_dir, f"MACHISPLIN_results_{rng.randint(100000, 999999)}.csv")

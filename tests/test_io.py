@@ -215,3 +215,82 @@ def test_rdata_reader_rejects_non_rdata(tmp_path):
     p.write_bytes(b"not an rdata file")
     with pytest.raises(ValueError, match="RDX2"):
         read_rdata(str(p))
+
+
+# ---- overview pyramids (.ovr sidecars, io/overviews.py) ---------------------
+
+
+def test_overview_decimate_nan_aware():
+    from machisplin_tpu.io.overviews import decimate
+
+    a = np.array(
+        [[1.0, 3.0, 5.0], [np.nan, 7.0, np.nan], [9.0, np.nan, np.nan]],
+        np.float32,
+    )
+    out = decimate(a, 2)
+    assert out.shape == (2, 2)
+    # block (0,0) = mean(1, 3, 7); (0,1) edge block = mean(5); (1,0) = 9;
+    # (1,1) all-NaN -> NaN
+    np.testing.assert_allclose(out[0, 0], (1 + 3 + 7) / 3)
+    np.testing.assert_allclose(out[0, 1], 5.0)
+    np.testing.assert_allclose(out[1, 0], 9.0)
+    assert np.isnan(out[1, 1])
+    # multiband shape handling
+    out3 = decimate(np.stack([a, a]), 2)
+    assert out3.shape == (2, 2, 2)
+    np.testing.assert_allclose(out3[0], out, equal_nan=True)
+
+
+def test_overview_default_levels_ladder():
+    from machisplin_tpu.io.overviews import default_levels
+
+    g = GridSpec(nrows=2476, ncols=3264, xmin=0, ymax=0, dx=1.0, dy=1.0)
+    assert default_levels(g, min_size=256) == [2, 4, 8]
+    small = GridSpec(nrows=100, ncols=120, xmin=0, ymax=0, dx=1.0, dy=1.0)
+    assert default_levels(small, min_size=256) == []
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_overview_roundtrip(tmp_path, rng, compress):
+    from machisplin_tpu.io.overviews import decimate, read_overview, write_overviews
+
+    r = make_raster(rng, nrows=130, ncols=200)
+    path = str(tmp_path / "s.tif")
+    write_geotiff_file(path, r)
+    ovr = write_overviews(path, r, min_size=32, compress=compress)
+    assert ovr == path + ".ovr"
+    full = np.asarray(r.data)
+    want = full
+    for k, f in enumerate([2, 4]):
+        o = read_overview(path, k)
+        want = decimate(want, 2)  # successive levels refine the previous one
+        np.testing.assert_allclose(np.asarray(o.data), want, equal_nan=True)
+        assert o.grid.shape == want.shape
+        assert np.isclose(o.grid.dx, r.grid.dx * r.grid.ncols / want.shape[1])
+        assert np.isclose(o.grid.xmin, r.grid.xmin)
+        assert np.isclose(o.grid.ymax, r.grid.ymax)
+    with pytest.raises(IndexError):
+        read_overview(path, 5)
+
+
+def test_overview_multiband_and_writer_hook(tmp_path, rng):
+    from machisplin_tpu.io.overviews import read_overview
+
+    # multiband pyramid
+    g = GridSpec(nrows=96, ncols=100, xmin=-77.74, ymax=-5.81, dx=0.01, dy=0.01)
+    data = rng.standard_normal((3, 96, 100)).astype(np.float32)
+    r = Raster(jnp.asarray(data), g, ("a", "b", "c"))
+    path = str(tmp_path / "m.tif")
+    write_geotiff_file(path, r)
+    from machisplin_tpu.io.overviews import decimate, write_overviews
+
+    write_overviews(path, r, levels=[2], compress=True)
+    o = read_overview(path, 0)
+    np.testing.assert_allclose(np.asarray(o.data), decimate(data, 2), equal_nan=True)
+
+    # write_geotiff(overviews=True) emits the sidecars alongside the .tif
+    paths = write_geotiff(
+        _fake_results(rng), str(tmp_path / "out"), seed=7, overviews=[2, 4]
+    )
+    ovrs = [p for p in paths if p.endswith(".ovr")]
+    assert len(ovrs) == 1 and os.path.exists(ovrs[0])
