@@ -49,15 +49,36 @@ class MARSState(NamedTuple):
     gcv: jax.Array       # () best GCV
     rss: jax.Array       # () RSS of the pruned model
     pair_active: jax.Array  # (T,) 0/1 — pairs the forward pass actually added
+    parent: jax.Array    # (T,) int32 design-column index of each pair's parent
+    #                      term (0 = intercept -> plain degree-1 hinges;
+    #                      2i+1 / 2i+2 -> product with an earlier hinge column)
 
 
-def _design(x, vars_, knots):
-    """Hinge design matrix [1, h1+, h1-, h2+, h2-, ...] of shape (n, 2T+1)."""
+def _design(x, vars_, knots, parent=None):
+    """Design matrix [1, t1+, t1-, t2+, t2-, ...] of shape (n, 2T+1).
+
+    Degree 1 (``parent`` None or all-zero): columns are the reflected hinge
+    pairs max(x_v - t, 0) / max(t - x_v, 0).  With interactions, pair i's
+    columns are parent_col * hinge where ``parent[i]`` indexes an EARLIER
+    design column (0 = intercept).  The sequential build is exact for the
+    degree-1 case too (1.0 * h == h bitwise), so one path serves both."""
+    n = x.shape[0]
     xv = x[:, vars_]                                   # (n, T)
     plus = jnp.maximum(xv - knots[None, :], 0.0)
     minus = jnp.maximum(knots[None, :] - xv, 0.0)
-    cols = jnp.stack([plus, minus], axis=2).reshape(x.shape[0], -1)
-    return jnp.concatenate([jnp.ones((x.shape[0], 1), x.dtype), cols], axis=1)
+    if parent is None:
+        cols = jnp.stack([plus, minus], axis=2).reshape(n, -1)
+        return jnp.concatenate([jnp.ones((n, 1), x.dtype), cols], axis=1)
+    t = vars_.shape[0]
+    ncols = 2 * t + 1
+    cols = jnp.zeros((n, ncols), x.dtype)
+    cols = cols.at[:, 0].set(1.0)
+    for i in range(t):
+        # gather-free parent column: one-hot matmul over the built prefix
+        pcol = cols @ jax.nn.one_hot(parent[i], ncols, dtype=x.dtype)
+        cols = cols.at[:, 2 * i + 1].set(pcol * plus[:, i])
+        cols = cols.at[:, 2 * i + 2].set(pcol * minus[:, i])
+    return cols
 
 
 def _masked_rss(bmat, ysw, mask, ridge=None):
@@ -99,10 +120,24 @@ def fit(
     thresh: float = 1e-3,
     minspan: int = 0,
     endspan: int = 0,
+    degree: int = 1,
 ) -> MARSState:
     """``minspan``/``endspan`` = 0 selects earth's automatic spans from the
     (weighted) training count; ``thresh`` = 0 disables RSq-delta stopping
-    (always spends the full ``n_pairs`` budget, the pre-fidelity behavior)."""
+    (always spends the full ``n_pairs`` budget, the pre-fidelity behavior).
+
+    ``degree`` mirrors earth's ``degree``: 1 (the default at every reference
+    call site, V73:250/539 — earth's own default) builds additive hinge
+    pairs; 2 allows product terms — each forward step picks the best
+    (parent term, variable, knot) triple where the parent is the intercept
+    or an existing degree-1 column on OTHER variables, and adds the
+    reflected pair parent*h+/parent*h-.  earth's penalty for interactive
+    models is 3 (its gcv docs); callers wanting that pass ``penalty=3``.
+    Deviation from earth noted: interaction knot candidates reuse the
+    global span-filtered grid rather than re-filtering within the parent's
+    support (documented TPU-shape tradeoff: the candidate grid stays
+    static).  When ``degree == 1`` the original single-parent code path
+    runs unchanged (golden-stable)."""
     del key
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -147,11 +182,13 @@ def fit(
     knot_grid = jnp.take_along_axis(xs_sorted, idx, axis=0).T   # (p, K)
     cand_valid = jnp.broadcast_to(rank_valid[None, :], (p, n_knots)).reshape(-1)
 
-    # all candidate hinge columns in sqrt-weight space
+    # all candidate hinge columns, raw and in sqrt-weight space
     xv = x.T[:, None, :]                                        # (p, 1, n)
     kg = knot_grid[:, :, None]                                  # (p, K, 1)
-    cand_plus = (jnp.maximum(xv - kg, 0.0) * sw[None, None, :]).reshape(p * n_knots, n)
-    cand_minus = (jnp.maximum(kg - xv, 0.0) * sw[None, None, :]).reshape(p * n_knots, n)
+    raw_plus = jnp.maximum(xv - kg, 0.0).reshape(p * n_knots, n)
+    raw_minus = jnp.maximum(kg - xv, 0.0).reshape(p * n_knots, n)
+    cand_plus = raw_plus * sw[None, :]
+    cand_minus = raw_minus * sw[None, :]
 
     ysw = y * sw
     q0 = sw / jnp.sqrt(n_eff)                                   # weighted intercept, unit norm
@@ -209,21 +246,108 @@ def fit(
     q_basis = q0[:, None]
     resid = resid0
     stopped = jnp.asarray(False)
-    picks, adds = [], []
-    for _ in range(n_pairs):
-        (q_basis, resid, stopped), (best, add) = forward_step(
-            (q_basis, resid, stopped), None
-        )
-        picks.append(best)
-        adds.append(add)
+    picks, adds, parents = [], [], []
+    if degree <= 1:
+        for _ in range(n_pairs):
+            (q_basis, resid, stopped), (best, add) = forward_step(
+                (q_basis, resid, stopped), None
+            )
+            picks.append(best)
+            adds.append(add)
+            parents.append(jnp.asarray(0, jnp.int32))
+    else:
+        # general (interaction) forward pass: candidates are (parent term,
+        # hinge pair) products.  Parent columns are carried RAW (no sw) so a
+        # product with the sw-weighted hinge candidates lands in sqrt-weight
+        # space exactly once; the intercept parent row of ones reproduces the
+        # degree-1 candidate set bitwise.
+        n_cand = p * n_knots
+        p_max = 2 * n_pairs + 1
+        cand_var = jnp.arange(n_cand, dtype=jnp.int32) // n_knots
+        parent_raw = jnp.zeros((p_max, n), x.dtype).at[0].set(1.0)
+        parent_ok = jnp.zeros((p_max,), x.dtype).at[0].set(1.0)
+        used_vars = jnp.zeros((p_max, p), x.dtype)
+        col_deg = jnp.zeros((p_max,), x.dtype)
+
+        for i in range(n_pairs):
+            qb, rs = q_basis, resid  # close over this step's shapes
+
+            def per_parent(args):
+                pr, uv, pok = args
+                ca = pr[None, :] * cand_plus                   # (C, n)
+                cb = pr[None, :] * cand_minus
+                pa = ca - (ca @ qb) @ qb.T
+                pb = cb - (cb @ qb) @ qb.T
+                aa = jnp.sum(pa * pa, axis=1)
+                bb = jnp.sum(pb * pb, axis=1)
+                ab = jnp.sum(pa * pb, axis=1)
+                ar = pa @ rs
+                br = pb @ rs
+                det = aa * bb - ab * ab
+                gain2 = jnp.where(
+                    det > tiny * jnp.maximum(aa * bb, tiny),
+                    (bb * ar * ar - 2 * ab * ar * br + aa * br * br)
+                    / jnp.maximum(det, tiny),
+                    0.0,
+                )
+                gain1 = jnp.maximum(
+                    jnp.where(aa > tiny, ar * ar / jnp.maximum(aa, tiny), 0.0),
+                    jnp.where(bb > tiny, br * br / jnp.maximum(bb, tiny), 0.0),
+                )
+                gain = jnp.maximum(gain2, gain1)
+                valid = cand_valid & (pok > 0) & (uv[cand_var] == 0)
+                return jnp.where(valid, gain, -1.0)
+
+            gains = jax.lax.map(per_parent, (parent_raw, used_vars, parent_ok))
+            best = jnp.argmax(gains)                           # flat (P*C)
+            bp = (best // n_cand).astype(jnp.int32)
+            bc = (best % n_cand).astype(jnp.int32)
+            rss_cur = jnp.sum(resid * resid)
+            rsq_cur = 1.0 - rss_cur / tss
+            delta_rsq = jnp.maximum(gains.reshape(-1)[best], 0.0) / tss
+            stopped = stopped | (delta_rsq < thresh) | (rsq_cur >= 1.0 - thresh)
+            add = jnp.where(stopped, 0.0, 1.0).astype(x.dtype)
+
+            prow = parent_raw[bp]
+            ca1 = prow * cand_plus[bc]
+            cb1 = prow * cand_minus[bc]
+            pa1 = ca1 - q_basis @ (q_basis.T @ ca1)
+            pb1 = cb1 - q_basis @ (q_basis.T @ cb1)
+            n1 = jnp.sqrt(jnp.maximum(jnp.sum(pa1 * pa1), tiny))
+            e1 = jnp.where(n1 > 1e-6, pa1 / n1, 0.0) * add
+            u2 = pb1 - (pb1 @ e1) * e1
+            n2 = jnp.sqrt(jnp.maximum(jnp.sum(u2 * u2), tiny))
+            e2 = jnp.where(n2 > 1e-6, u2 / n2, 0.0) * add
+            resid = resid - (resid @ e1) * e1 - (resid @ e2) * e2
+            q_basis = jnp.concatenate([q_basis, e1[:, None], e2[:, None]], axis=1)
+
+            # bookkeeping for future steps' parent set
+            c_plus, c_minus = 2 * i + 1, 2 * i + 2
+            parent_raw = (
+                parent_raw.at[c_plus].set(prow * raw_plus[bc] * add)
+                .at[c_minus].set(prow * raw_minus[bc] * add)
+            )
+            nd = col_deg[bp] + 1.0
+            col_deg = col_deg.at[c_plus].set(nd).at[c_minus].set(nd)
+            elig = add * jnp.where(nd < degree, 1.0, 0.0)
+            parent_ok = parent_ok.at[c_plus].set(elig).at[c_minus].set(elig)
+            uvn = used_vars[bp].at[cand_var[bc]].set(1.0)
+            used_vars = used_vars.at[c_plus].set(uvn * add).at[c_minus].set(uvn * add)
+
+            picks.append(bc)
+            adds.append(add)
+            parents.append(bp)
     picks = jnp.stack(picks)
     pair_active = jnp.stack(adds)                               # (T,) 0/1
+    parent_arr = jnp.stack(parents).astype(jnp.int32)
     vars_ = (picks // n_knots).astype(jnp.int32)
     flat_knots = knot_grid.reshape(-1)
     knots = flat_knots[picks]
 
     # ---- backward pruning by GCV over the static design -------------------
-    b_full = _design(x, vars_, knots) * sw[:, None]             # (n, 2T+1)
+    b_full = _design(
+        x, vars_, knots, parent_arr if degree > 1 else None
+    ) * sw[:, None]                                             # (n, 2T+1)
     ncols = b_full.shape[1]
 
     def gcv_of(rss, m_count):
@@ -266,37 +390,48 @@ def fit(
     rss_best, coef = _masked_rss(b_full, ysw, best_mask, ridge)
     return MARSState(
         vars=vars_, knots=knots, coef=coef, active=best_mask, gcv=best_gcv,
-        rss=rss_best, pair_active=pair_active,
+        rss=rss_best, pair_active=pair_active, parent=parent_arr,
     )
 
 
 @highest_precision
 def predict(state: MARSState, x) -> jax.Array:
-    b = _design(jnp.asarray(x), state.vars, state.knots)
+    b = _design(jnp.asarray(x), state.vars, state.knots, state.parent)
     return b @ (state.coef * state.active)
 
 
 def importance(state: MARSState, x, y, names, sample_weight=None) -> dict:
     """evimp-style report: per variable, number of surviving terms and the RSS
-    increase from deleting all of its terms (normalised to 100 for the worst)."""
+    increase from deleting all of its terms (normalised to 100 for the worst).
+    A term "involves" a variable when it appears anywhere in the term's factor
+    chain (itself or via the parent product), so degree-2 terms count for both
+    of their variables — matching evimp's term-subset accounting."""
+    import numpy as np
+
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     w = as_weight(sample_weight, x.shape[0], x.dtype)
     sw = jnp.sqrt(w)
-    b = _design(x, state.vars, state.knots) * sw[:, None]
+    b = _design(x, state.vars, state.knots, state.parent) * sw[:, None]
     ysw = y * sw
     p = len(names)
-    col_var = jnp.concatenate(
-        [jnp.array([-1]), jnp.repeat(state.vars, 2)]
-    )  # (2T+1,), -1 = intercept
+    t = int(state.vars.shape[0])
+    vars_np = np.asarray(state.vars)
+    parent_np = np.asarray(state.parent)
+    invol = np.zeros((2 * t + 1, p), bool)  # column -> variables in its chain
+    for i in range(t):
+        chain = invol[parent_np[i]].copy()
+        chain[vars_np[i]] = True
+        invol[2 * i + 1] = invol[2 * i + 2] = chain
     out = {}
     deltas = []
     nterms = []
+    active_np = np.asarray(state.active)
     for v in range(p):
-        mv = state.active * (col_var != v)
+        mv = state.active * jnp.asarray(~invol[:, v], state.active.dtype)
         rss_v, _ = _masked_rss(b, ysw, mv)
         deltas.append(float(rss_v - state.rss))
-        nterms.append(int(jnp.sum(state.active * (col_var == v))))
+        nterms.append(int((active_np * invol[:, v]).sum()))
     dmax = max(max(deltas), 1e-12)
     for i, n in enumerate(names):
         out[n] = {"nsubsets": nterms[i], "rss": 100.0 * deltas[i] / dmax}

@@ -715,3 +715,52 @@ def test_bestfirst_grower_matches_numpy_reference(rng):
             got = float(np.asarray(tree.value)[q])
             assert got == pytest.approx(want, rel=1e-4)
             np.testing.assert_array_equal(np.unique(cur[rows]), [q])
+
+
+def test_mars_degree2_interactions(rng):
+    """degree=2 (opt-in; earth's degree arg — the reference call sites use
+    the degree-1 default, V73:250/539) recovers a pure product-hinge signal
+    that the additive model structurally cannot, the parent bookkeeping is
+    consistent, and degree=1 states keep an all-intercept parent chain."""
+    x, _ = make_data(rng, n=400)
+    xa = np.asarray(x)
+    y = jnp.asarray(
+        4.0 * np.maximum(xa[:, 0] - 0.3, 0) * np.maximum(0.6 - xa[:, 1], 0)
+        + 0.5 * np.maximum(xa[:, 2] - 0.5, 0)
+        + 1.0
+    )
+    s1 = mars.fit(None, x, y, degree=1)
+    s2 = mars.fit(None, x, y, degree=2)
+    r2_1 = r2(y, mars.predict(s1, x))
+    r2_2 = r2(y, mars.predict(s2, x))
+    assert r2_2 > 0.995
+    assert r2_2 > r2_1 + 0.01  # the interaction is not additively separable
+    # degree-1 states: every pair hangs off the intercept
+    assert np.all(np.asarray(s1.parent) == 0)
+    # degree-2 structural invariants: parents reference earlier columns only,
+    # and no term multiplies a variable by itself
+    par = np.asarray(s2.parent)
+    vs = np.asarray(s2.vars)
+    act = np.asarray(s2.pair_active)
+    for i in range(len(par)):
+        if not act[i]:
+            continue
+        assert 0 <= par[i] <= 2 * i
+        if par[i] > 0:
+            j = (par[i] - 1) // 2  # pair that owns the parent column
+            assert vs[j] != vs[i]
+    assert (par[act.astype(bool)] > 0).any()  # it actually used a product term
+    # importance counts the interaction for BOTH of its variables
+    imp = mars.importance(s2, x, y, NAMES)
+    assert imp["alt"]["rss"] > 1.0 and imp["slope"]["rss"] > 1.0
+
+
+def test_mars_degree1_unchanged_by_degree_arg(rng):
+    """The degree-1 path is the original code (golden-stable): fitting with
+    the explicit default reproduces the pre-round-4 state exactly."""
+    x, y = make_data(rng)
+    a = mars.fit(None, x, y)
+    b = mars.fit(None, x, y, degree=1)
+    np.testing.assert_array_equal(np.asarray(a.vars), np.asarray(b.vars))
+    np.testing.assert_array_equal(np.asarray(a.knots), np.asarray(b.knots))
+    np.testing.assert_array_equal(np.asarray(a.coef), np.asarray(b.coef))
