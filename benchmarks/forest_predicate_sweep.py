@@ -1,0 +1,125 @@
+"""Forest kernel phase-2 sweep: the predicated feature loop (round 4).
+
+Phase 1 (forest_kernel_sweep.py) measured dtype x tiling: best 28.9 Mcells/s
+at f32 cb=8192 lc=1024 (bf16 lost — compares must run f32 on v5e, and the
+upcasts cost more than the halved traffic saved).  Phase 2 A/Bs the
+feature-set-sorted + chunk-predicated kernel (ops/pallas_forest.py
+``predicate=True``): leaves of depth-d trees constrain <= d of the p
+features, so sorting leaf slots by constrained-feature set lets whole
+(leaf-chunk x cell-block) compare tiles skip via lax.cond.  At this bench
+shape (4-leaf trees, p=5) the expected op-count ratio is ~5/3.
+
+Also validates that Mosaic actually compiles lax.cond-with-carry on v5e —
+if it rejects, ops/pallas_forest._PREDICATE_DEFAULT stays False.
+
+Run on the real TPU (default env): python benchmarks/forest_predicate_sweep.py
+Writes benchmarks/forest_predicate_sweep.json.  Timing: slope (k=1 vs k=5,
+one readback), best-of-3, per CLAUDE.md tunnel-noise rules.
+"""
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(m_cells: int = 2_097_152, n_trees: int = 2000, n_splits: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from machisplin_tpu.models import brt
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+    from machisplin_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    n, p = 2000, 5
+    x = rng.standard_normal((n, p)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.5 * x[:, 1] * x[:, 2]
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    state = brt.fit(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
+        n_trees=n_trees, n_splits=n_splits, lr=0.05,
+    )
+    w = state.tree_active * state.lr
+    xq = jnp.asarray(rng.standard_normal((m_cells, p)).astype(np.float32))
+    tabs = build_leaf_bins(state.trees, n_feat=p)
+    n_leaves = int((tabs.leaf_tree >= 0).sum())
+    # how much the sort can save: mean active features per 512-leaf chunk
+    cons = (tabs.lo[:p] > 0) | (tabs.hi[:p] < tabs.n_bins - 1)
+    act512 = cons.reshape(p, -1, 512).any(axis=2)
+    print(f"{n_leaves} leaves, {tabs.n_bins} bins, "
+          f"mean active features/chunk(512): {act512.sum(0).mean():.2f} of {p}",
+          flush=True)
+
+    def slope_time(fn):
+        s0 = float(jnp.nansum(fn()))  # compile + settle
+
+        def run_k(k):
+            s = None
+            for _ in range(k):
+                t = jnp.nansum(fn())
+                s = t if s is None else s + t
+            return float(s)
+
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time(); run_k(1); d1 = time.time() - t0
+            t0 = time.time(); run_k(5); d5 = time.time() - t0
+            best = min(best, max((d5 - d1) / 4, 1e-9))
+        return best, s0
+
+    results = []
+    ref_sum = None
+    combos = [
+        (False, 8192, 1024),   # phase-1 winner = the baseline
+        (True, 8192, 1024),
+        (True, 8192, 512),
+        (True, 8192, 256),     # smaller chunks = more homogeneous sets
+        (True, 2048, 512),
+        (True, 2048, 256),
+        (True, 4096, 256),
+    ]
+    for pred, cb, lc in combos:
+        try:
+            dt, chk = slope_time(lambda: forest_predict_bins(
+                state.trees, xq, w, tables=tabs,
+                cell_block=cb, leaf_chunk=lc, predicate=pred,
+            ))
+        except Exception as e:  # Mosaic rejection: record and move on
+            print(f"pred={pred} cb={cb} lc={lc}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
+            results.append(dict(predicate=pred, cell_block=cb, leaf_chunk=lc,
+                                error=str(e)[:300]))
+            continue
+        if ref_sum is None:
+            ref_sum = chk
+        rate = m_cells / dt / 1e6
+        ok = abs(chk - ref_sum) <= 1e-3 * max(abs(ref_sum), 1.0)
+        print(f"pred={pred} cb={cb} lc={lc}: {rate:.1f} Mcells/s "
+              f"({dt*1e3:.1f} ms/call, checksum {'ok' if ok else 'DRIFT'})",
+              flush=True)
+        results.append(dict(predicate=pred, cell_block=cb, leaf_chunk=lc,
+                            mcells_per_s=round(rate, 1), checksum_ok=ok))
+    out = dict(
+        m_cells=m_cells, n_trees=n_trees, n_leaves=n_leaves,
+        n_bins=tabs.n_bins, p=p,
+        mean_active_features_per_chunk512=round(float(act512.sum(0).mean()), 2),
+        results=results,
+    )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "forest_predicate_sweep.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

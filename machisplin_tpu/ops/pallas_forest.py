@@ -45,6 +45,9 @@ __all__ = ["LeafBinTables", "build_leaf_bins", "forest_predict_bins"]
 _CELL_BLOCK = 2048
 _LEAF_CHUNK = 512
 _FEAT_GRANULE = 8  # f32 sublane granule; feature axis pads up to a multiple
+# measured default for the predicated feature loop (flipped by the on-chip
+# A/B in benchmarks/forest_kernel_sweep.py once Mosaic-validated)
+_PREDICATE_DEFAULT = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -109,11 +112,38 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
                 l_node.append(q)
 
     n_leaves = len(l_tree)
+    l_tree = np.asarray(l_tree, np.int32)
+    l_node = np.asarray(l_node, np.int32)
+    if n_leaves:
+        lo_real = np.stack(los, axis=1).astype(np.float32)   # (p, L)
+        hi_real = np.stack(his, axis=1).astype(np.float32)
+        if p < 63:
+            # sort leaf slots by constrained-feature set so each leaf CHUNK
+            # touches few features: a leaf at depth d constrains <= d of the
+            # p features (the rest stay at the trivial [0, B-1] interval),
+            # and the kernel's predicated feature loop (below) skips a
+            # feature for a whole chunk when NO leaf in it constrains that
+            # feature.  Grouping by (popcount, bitmask) makes chunks
+            # near-homogeneous, so the skip actually fires.  Pure
+            # permutation — leaf_tree/leaf_node carry the weights.
+            cons = (lo_real > 0) | (hi_real < n_bins - 1)    # (p, L)
+            mask_int = (cons * (1 << np.arange(p, dtype=np.int64))[:, None]).sum(0)
+            order = np.lexsort((mask_int, cons.sum(0)))
+            lo_real = lo_real[:, order]
+            hi_real = hi_real[:, order]
+            l_tree = l_tree[order]
+            l_node = l_node[order]
     tl_pad = _round_up(max(n_leaves, 1), _LEAF_CHUNK)
-    lo = np.ones((f_pad, tl_pad), np.float32)   # empty interval at padding
-    hi = np.zeros((f_pad, tl_pad), np.float32)
-    lo[:p, :n_leaves] = np.stack(los, axis=1)
-    hi[:p, :n_leaves] = np.stack(his, axis=1)
+    # padding slots: EMPTY on feature 0 only (lo=1 > hi=0 can never match);
+    # all other features stay unconstrained so pad chunks don't force the
+    # predicated loop to visit every feature
+    lo = np.zeros((f_pad, tl_pad), np.float32)
+    hi = np.full((f_pad, tl_pad), float(n_bins - 1), np.float32)
+    lo[0, :] = 1.0
+    hi[0, :] = 0.0
+    if n_leaves:
+        lo[:p, :n_leaves] = lo_real
+        hi[:p, :n_leaves] = hi_real
     leaf_tree = np.full(tl_pad, -1, np.int32)
     leaf_node = np.zeros(tl_pad, np.int32)
     leaf_tree[:n_leaves] = l_tree
@@ -121,8 +151,8 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins)
 
 
-def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
-            p_real, mdtype):
+def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
+            p_real, mdtype, predicate=False):
     """One (cell block, leaf chunk) tile: membership AND-product + matvec.
 
     Layout: cells ride the LANE axis throughout — bin indices are (1, mb),
@@ -140,7 +170,18 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
     halving the (tn, mb) mask traffic, the kernel's dominant cost.  The
     final leaf-value matvec always accumulates in f32 (values are the
     precision-doctrine path).
+
+    ``predicate``: when True, ``rest`` carries an SMEM (1, f_pad) int32
+    activity row for this leaf chunk (see build_leaf_bins' feature-set
+    sort) and each feature's compare-AND is wrapped in lax.cond — a chunk
+    whose leaves never constrain feature f skips its (tn, mb) VPU work
+    entirely.  Exact: a skipped feature's interval is [0, B-1] for every
+    leaf in the chunk, so its ok-mask is all-ones.
     """
+    if predicate:
+        act_ref, out_ref, bins_ref = rest
+    else:
+        out_ref, bins_ref = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -152,18 +193,31 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
                 keepdims=True,
             ).astype(mdtype)
 
-    sel = None
-    for f in range(p_real):
+    def _ok(f):
         # the COMPARES run in f32: Mosaic on v5e rejects packed-bf16 cmpf
         # ("Target does not support this comparison", observed round 4).
         # bf16's win is the STREAMED/STORED operands — the lo/hi tables,
         # the bins scratch, and the (tn, mb) sel mask — not the compare op.
         binf = bins_ref[f : f + 1, :].astype(jnp.float32)     # (1, mb)
-        ok = (
+        return (
             (binf >= lo_ref[:, f : f + 1].astype(jnp.float32))
             & (binf <= hi_ref[:, f : f + 1].astype(jnp.float32))
         ).astype(mdtype)                                      # (tn, mb)
-        sel = ok if sel is None else sel * ok
+
+    if predicate:
+        sel = jnp.ones((lo_ref.shape[0], x_ref.shape[1]), mdtype)
+        for f in range(p_real):
+            sel = jax.lax.cond(
+                act_ref[0, f] > 0,
+                lambda s, f=f: s * _ok(f),
+                lambda s: s,
+                sel,
+            )
+    else:
+        sel = None
+        for f in range(p_real):
+            ok = _ok(f)
+            sel = ok if sel is None else sel * ok
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
     # for the matvec — same masks as the all-f32 kernel, agreeing to the
     # f32 dot's accumulation order.  wv carries one row per output column
@@ -187,12 +241,13 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, out_ref, bins_ref, *,
     jax.jit,
     static_argnames=(
         "p_real", "m_real", "use_pallas", "interpret", "membership_dtype",
-        "cell_block", "leaf_chunk",
+        "cell_block", "leaf_chunk", "n_bins", "predicate",
     ),
 )
 def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
                   interpret=False, membership_dtype="float32",
-                  cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK):
+                  cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK,
+                  n_bins=0, predicate=False):
     m_pad = x_pad.shape[0]
     tl_pad = lo.shape[1]
     n_out = wv.shape[1]
@@ -208,29 +263,42 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
         return (sel @ wv)[:m_real]                            # (m, R)
 
     mdtype = jnp.dtype(membership_dtype)
-    kernel = functools.partial(_kernel, p_real=p_real, mdtype=mdtype)
     b_pad = etab.shape[1]
     f_pad = x_pad.shape[1]
     while tl_pad % leaf_chunk:  # tables pad to _LEAF_CHUNK multiples
         leaf_chunk //= 2
+    kernel = functools.partial(
+        _kernel, p_real=p_real, mdtype=mdtype, predicate=predicate
+    )
+    in_specs = [
+        pl.BlockSpec((b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (f_pad, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n_out, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [etab.T, x_pad.T, lo.T.astype(mdtype), hi.T.astype(mdtype), wv.T]
+    if predicate:
+        # per-chunk feature activity (see build_leaf_bins' feature-set sort):
+        # a feature is live for a chunk iff ANY of its leaves constrains it
+        cons = (lo > 0) | (hi < float(n_bins - 1))            # (f_pad, TL)
+        act = cons.reshape(f_pad, tl_pad // leaf_chunk, leaf_chunk).any(axis=2)
+        in_specs.append(
+            pl.BlockSpec((1, f_pad), lambda i, j: (j, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(act.T.astype(jnp.int32))                  # (n_chunks, f_pad)
     out = pl.pallas_call(
         kernel,
         grid=(m_pad // cell_block, tl_pad // leaf_chunk),
-        in_specs=[
-            pl.BlockSpec((b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (f_pad, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n_out, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (n_out, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
@@ -242,7 +310,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(etab.T, x_pad.T, lo.T.astype(mdtype), hi.T.astype(mdtype), wv.T)
+    )(*args)
     return out[:, :m_real].T                                  # (m, R)
 
 
@@ -251,6 +319,7 @@ def forest_predict_bins(
     use_pallas: bool | None = None, interpret: bool = False,
     membership_dtype: str = "float32",
     cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
+    predicate: bool | None = None,
 ) -> jax.Array:
     """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
 
@@ -273,6 +342,13 @@ def forest_predict_bins(
     float32 until the on-chip sweep (benchmarks/forest_kernel_sweep.py)
     blesses bf16 as faster with checksums intact.  ``cell_block``/
     ``leaf_chunk`` are tuning knobs for the kernel sweep.
+
+    ``predicate``: skip a feature's whole (leaf-chunk x cell-block) compare
+    tile when no leaf in the chunk constrains it (build_leaf_bins sorts
+    leaf slots by constrained-feature set precisely so these skips fire —
+    shallow trees constrain <= depth of the p features).  Exact: a skipped
+    feature's ok-mask is all-ones by construction.  None = the measured
+    default (on-chip A/B in benchmarks/forest_kernel_sweep.py).
     """
     x = jnp.asarray(x, jnp.float32)
     m, p = x.shape
@@ -280,6 +356,8 @@ def forest_predict_bins(
         tables = build_leaf_bins(trees, n_feat=p)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if predicate is None:
+        predicate = _PREDICATE_DEFAULT
     if jnp.dtype(membership_dtype) == jnp.bfloat16 and tables.n_bins > 256:
         membership_dtype = "float32"  # bf16 integers are exact only to 256
 
@@ -309,5 +387,7 @@ def forest_predict_bins(
         membership_dtype=membership_dtype,
         cell_block=cell_block,
         leaf_chunk=leaf_chunk,
+        n_bins=tables.n_bins,
+        predicate=predicate,
     )
     return out[:, 0] if single else out

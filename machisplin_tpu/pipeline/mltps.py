@@ -255,7 +255,15 @@ def _fit_final(letter, key, x, y, names, config: MLTPSConfig):
     if letter == "b":
         res = gbm_step.fit(key, x, y, **config.final_brt)
         imp = gbm_step.importance(res, names)
-        tabs = _forest_tables(res.final.trees, np.asarray(x).shape[1], config.mesh)
+        # build leaf tables from the ACTIVE prefix only: trees beyond
+        # best.trees were grown (static budget) but carry zero weight, and
+        # the kernel's membership cost scales with total leaf slots whether
+        # or not a leaf can contribute.  Exact: tree_active is a prefix
+        # mask, and prefix-built tables index correctly into the full
+        # forest at predict time.
+        nt = max(int(res.best_trees), 1)
+        trimmed = jax.tree_util.tree_map(lambda a: a[:nt], res.final.trees)
+        tabs = _forest_tables(trimmed, np.asarray(x).shape[1], config.mesh)
         fn = lambda q: gbm_step.predict(res, q, tables=tabs)
         fn.prefers_host = tabs is None
         fn.manual_shard = True
@@ -659,20 +667,32 @@ def mltps(
             # weight matrix zeroing foreign trees — one raster stream for ALL
             # responses instead of R (fit_multi budgets are shared, so the
             # per-response tree arrays stack directly)
+            # trim each response's forest to its ACTIVE prefix before
+            # merging: fit_multi grows every response to the shared padded
+            # budget, but trees beyond a response's own best.trees carry
+            # zero weight while their leaves would still cost full
+            # membership work in the kernel (the round-4 raster_predict_b
+            # regression: the weaker response's table was padded up to the
+            # stronger one's budget)
+            nts = [max(int(r.best_trees), 1) for r in results_b]
             merged_trees = jax.tree_util.tree_map(
                 lambda *a: jnp.concatenate(a, axis=0),
-                *[r.final.trees for r in results_b],
+                *[
+                    jax.tree_util.tree_map(lambda a, k=nt: a[:k], r.final.trees)
+                    for nt, r in zip(nts, results_b)
+                ],
             )
             tabs = _forest_tables(merged_trees, p_feat, config.mesh)
             if tabs is not None:
                 from ..ops.pallas_forest import forest_predict_bins
 
-                t_each = results_b[0].final.tree_active.shape[0]
-                wmat = np.zeros((t_each * len(sel), len(sel)), np.float32)
-                for j, r in enumerate(results_b):
-                    wmat[j * t_each : (j + 1) * t_each, j] = (
-                        np.asarray(r.final.tree_active) * float(r.final.lr)
+                wmat = np.zeros((sum(nts), len(sel)), np.float32)
+                off = 0
+                for j, (nt, r) in enumerate(zip(nts, results_b)):
+                    wmat[off : off + nt, j] = (
+                        np.asarray(r.final.tree_active)[:nt] * float(r.final.lr)
                     )
+                    off += nt
                 f0s = jnp.asarray(
                     [float(r.final.f0) for r in results_b], jnp.float32
                 )

@@ -533,6 +533,62 @@ def test_bin_interval_multi_response_weights(rng):
         np.testing.assert_allclose(out[:, 1], want2, rtol=1e-5, atol=1e-5)
 
 
+def test_bin_interval_predicated_feature_skips(rng):
+    """predicate=True (chunk-level feature skipping over the feature-set-
+    sorted leaf order) must agree EXACTLY with the unpredicated kernel and
+    with serial traversal — a skipped feature's interval is [0, B-1] for
+    every leaf in its chunk, so the skip is algebraically a no-op.  Uses
+    shallow trees over many features so skips genuinely fire, plus a (T, R)
+    weight matrix to cover the merged multi-response raster path."""
+    from machisplin_tpu.models.trees import forest_predict
+    from machisplin_tpu.ops.pallas_forest import build_leaf_bins, forest_predict_bins
+
+    n, p = 300, 11
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, p)))
+    xa = np.asarray(x)
+    y1 = jnp.asarray(2.0 * xa[:, 0] + np.sin(3 * xa[:, 5]) + 0.1 * rng.standard_normal(n))
+    y2 = jnp.asarray(xa[:, 9] - 0.5 * xa[:, 2] + 0.1 * rng.standard_normal(n))
+    s1 = brt.fit(jax.random.PRNGKey(5), x, y1, n_trees=40, n_splits=3, lr=0.1)
+    s2 = brt.fit(jax.random.PRNGKey(6), x, y2, n_trees=40, n_splits=3, lr=0.1)
+    merged = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), s1.trees, s2.trees
+    )
+    wmat = np.zeros((80, 2), np.float32)
+    wmat[:40, 0] = np.asarray(s1.tree_active) * 0.1
+    wmat[40:, 1] = np.asarray(s2.tree_active) * 0.1
+    xq = jnp.asarray(rng.uniform(0, 1, (500, p)))
+    tabs = build_leaf_bins(merged, n_feat=p)
+    # the sort actually grouped leaves: some chunk must skip some feature
+    cons = (tabs.lo[:p] > 0) | (tabs.hi[:p] < tabs.n_bins - 1)
+    act = cons.reshape(p, -1, 128).any(axis=2)  # 128-leaf granules
+    assert not act.all(), "expected at least one inactive (chunk, feature)"
+    want1 = np.asarray(brt.predict(s1, xq)) - float(s1.f0)
+    want2 = np.asarray(brt.predict(s2, xq)) - float(s2.f0)
+    base = np.asarray(
+        forest_predict_bins(
+            merged, xq, jnp.asarray(wmat), tables=tabs,
+            use_pallas=True, interpret=True, predicate=False,
+        )
+    )
+    pred = np.asarray(
+        forest_predict_bins(
+            merged, xq, jnp.asarray(wmat), tables=tabs,
+            use_pallas=True, interpret=True, predicate=True,
+        )
+    )
+    np.testing.assert_array_equal(base, pred)   # bit-identical masks
+    np.testing.assert_allclose(pred[:, 0], want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(pred[:, 1], want2, rtol=1e-5, atol=1e-5)
+    # single-response weights through the predicated path too
+    got1 = np.asarray(
+        forest_predict_bins(
+            s1.trees, xq, s1.tree_active * s1.lr,
+            use_pallas=True, interpret=True, predicate=True,
+        )
+    )
+    np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-5)
+
+
 def test_gam_smooth_recovers_nonlinear_additive(rng):
     """The opt-in P-spline GAM (SURVEY §7's "true GAM" extension) must
     recover a smooth nonlinear additive signal that the reference's
