@@ -45,9 +45,17 @@ __all__ = ["LeafBinTables", "build_leaf_bins", "forest_predict_bins"]
 _CELL_BLOCK = 2048
 _LEAF_CHUNK = 512
 _FEAT_GRANULE = 8  # f32 sublane granule; feature axis pads up to a multiple
-# measured default for the predicated feature loop (flipped by the on-chip
-# A/B in benchmarks/forest_kernel_sweep.py once Mosaic-validated)
+# measured default for the predicated feature loop: STAYS False — the
+# on-chip A/B (benchmarks/forest_predicate_sweep.json) measured the
+# lax.cond-carried variant at 6 Mcells/s vs 29.8 unpredicated (the (tn, mb)
+# carry copies in/out of each branch, costing far more than the skipped
+# compares save), and cb=8192 variants crashed the Mosaic compile.  The
+# branch-free alternative is the static-segment path below (`segments`).
 _PREDICATE_DEFAULT = False
+# measured default for the static-segment path (benchmarks/
+# forest_predicate_sweep.py phase 3)
+_SEGMENTS_DEFAULT = False
+_MAX_SEGMENTS = 12
 
 
 def _round_up(x: int, m: int) -> int:
@@ -152,7 +160,7 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
 
 
 def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
-            p_real, mdtype, predicate=False):
+            p_real, mdtype, predicate=False, p_list=None):
     """One (cell block, leaf chunk) tile: membership AND-product + matvec.
 
     Layout: cells ride the LANE axis throughout — bin indices are (1, mb),
@@ -171,22 +179,29 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
     final leaf-value matvec always accumulates in f32 (values are the
     precision-doctrine path).
 
-    ``predicate``: when True, ``rest`` carries an SMEM (1, f_pad) int32
+    ``predicate``: when True, ``rest`` carries an SMEM (1, 1, f_pad) int32
     activity row for this leaf chunk (see build_leaf_bins' feature-set
     sort) and each feature's compare-AND is wrapped in lax.cond — a chunk
     whose leaves never constrain feature f skips its (tn, mb) VPU work
-    entirely.  Exact: a skipped feature's interval is [0, B-1] for every
-    leaf in the chunk, so its ok-mask is all-ones.
+    entirely.  Exact but MEASURED SLOW on chip (the vector carry copies
+    per branch; see _PREDICATE_DEFAULT) — kept for the record.
+
+    ``p_list``: the branch-free alternative — a STATIC tuple of feature
+    indices this call's leaf chunks actually constrain (the segment path:
+    _predict_impl slices the sorted leaf axis into contiguous chunk runs
+    with a shared active-feature union and compiles one variant per
+    distinct union).  Exact for the same reason as predicate.
     """
     if predicate:
         act_ref, out_ref, bins_ref = rest
     else:
         out_ref, bins_ref = rest
+    feats = tuple(range(p_real)) if p_list is None else p_list
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        for f in range(p_real):
+        for f in feats:
             bins_ref[f : f + 1, :] = jnp.sum(
                 (x_ref[f : f + 1, :] > etab_ref[:, f : f + 1]).astype(jnp.float32),
                 axis=0,
@@ -206,18 +221,20 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
 
     if predicate:
         sel = jnp.ones((lo_ref.shape[0], x_ref.shape[1]), mdtype)
-        for f in range(p_real):
+        for f in feats:
             sel = jax.lax.cond(
-                act_ref[0, f] > 0,
+                act_ref[0, 0, f] > 0,
                 lambda s, f=f: s * _ok(f),
                 lambda s: s,
                 sel,
             )
     else:
         sel = None
-        for f in range(p_real):
+        for f in feats:
             ok = _ok(f)
             sel = ok if sel is None else sel * ok
+        if sel is None:  # a segment of unconstrained leaves matches every cell
+            sel = jnp.ones((lo_ref.shape[0], x_ref.shape[1]), mdtype)
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
     # for the matvec — same masks as the all-f32 kernel, agreeing to the
     # f32 dot's accumulation order.  wv carries one row per output column
@@ -237,17 +254,57 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
         out_ref[:] = out_ref[:] + contrib
 
 
+def _segments_for(lo, hi, n_bins, p_real, leaf_chunk,
+                  max_segments=_MAX_SEGMENTS):
+    """Host-side: contiguous leaf-chunk runs sharing an active-feature union.
+
+    ``lo``/``hi`` are the CONCRETE (f_pad, TL_pad) tables (build_leaf_bins
+    sorts leaf slots by constrained-feature set, so equal-set runs are
+    long).  Returns a static tuple of (chunk_start, chunk_end, p_list);
+    adjacent runs greedy-merge (minimum added membership cost) until at
+    most ``max_segments`` remain — each distinct p_list is one compiled
+    kernel variant.
+    """
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    cons = (lo[:p_real] > 0) | (hi[:p_real] < n_bins - 1)     # (p, TL)
+    n_chunks = lo.shape[1] // leaf_chunk
+    act = cons.reshape(p_real, n_chunks, leaf_chunk).any(axis=2)
+    segs: list = []                                           # [c0, c1, set]
+    for c in range(n_chunks):
+        m = frozenset(np.nonzero(act[:, c])[0].tolist())
+        if segs and segs[-1][2] == m:
+            segs[-1][1] = c + 1
+        else:
+            segs.append([c, c + 1, m])
+
+    def cost(c0, c1, m):
+        return (c1 - c0) * max(len(m), 1)
+
+    while len(segs) > max_segments:
+        best_i, best_d = 0, None
+        for i in range(len(segs) - 1):
+            a, b = segs[i], segs[i + 1]
+            u = a[2] | b[2]
+            d = cost(a[0], b[1], u) - cost(*a) - cost(*b)
+            if best_d is None or d < best_d:
+                best_i, best_d = i, d
+        a, b = segs[best_i], segs.pop(best_i + 1)
+        a[1], a[2] = b[1], a[2] | b[2]
+    return tuple((s[0], s[1], tuple(int(f) for f in sorted(s[2]))) for s in segs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "p_real", "m_real", "use_pallas", "interpret", "membership_dtype",
-        "cell_block", "leaf_chunk", "n_bins", "predicate",
+        "cell_block", "leaf_chunk", "n_bins", "predicate", "segments",
     ),
 )
 def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
                   interpret=False, membership_dtype="float32",
                   cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK,
-                  n_bins=0, predicate=False):
+                  n_bins=0, predicate=False, segments=None):
     m_pad = x_pad.shape[0]
     tl_pad = lo.shape[1]
     n_out = wv.shape[1]
@@ -267,50 +324,82 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
     f_pad = x_pad.shape[1]
     while tl_pad % leaf_chunk:  # tables pad to _LEAF_CHUNK multiples
         leaf_chunk //= 2
-    kernel = functools.partial(
-        _kernel, p_real=p_real, mdtype=mdtype, predicate=predicate
-    )
-    in_specs = [
-        pl.BlockSpec((b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (f_pad, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (n_out, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
-        ),
-    ]
-    args = [etab.T, x_pad.T, lo.T.astype(mdtype), hi.T.astype(mdtype), wv.T]
-    if predicate:
-        # per-chunk feature activity (see build_leaf_bins' feature-set sort):
-        # a feature is live for a chunk iff ANY of its leaves constrains it
-        cons = (lo > 0) | (hi < float(n_bins - 1))            # (f_pad, TL)
-        act = cons.reshape(f_pad, tl_pad // leaf_chunk, leaf_chunk).any(axis=2)
-        in_specs.append(
-            pl.BlockSpec((1, f_pad), lambda i, j: (j, 0), memory_space=pltpu.SMEM)
+    lo_t = lo.T.astype(mdtype)                                # (TL, f_pad)
+    hi_t = hi.T.astype(mdtype)
+    wv_t = wv.T                                               # (R, TL)
+
+    def one_call(lo_s, hi_s, wv_s, p_list):
+        n_chunks = lo_s.shape[0] // leaf_chunk
+        n_feat_eff = p_real if p_list is None else max(len(p_list), 1)
+        kernel = functools.partial(
+            _kernel, p_real=p_real, mdtype=mdtype, predicate=predicate,
+            p_list=p_list,
         )
-        args.append(act.T.astype(jnp.int32))                  # (n_chunks, f_pad)
-    out = pl.pallas_call(
-        kernel,
-        grid=(m_pad // cell_block, tl_pad // leaf_chunk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (n_out, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_out, m_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((f_pad, cell_block), mdtype)],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * tl_pad * p_real + 2 * n_out * m_pad * tl_pad,
-            bytes_accessed=4 * (m_pad * f_pad + 3 * tl_pad * f_pad + n_out * m_pad),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+        in_specs = [
+            pl.BlockSpec(
+                (b_pad, f_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (f_pad, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (leaf_chunk, f_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_out, leaf_chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ]
+        args = [etab.T, x_pad.T, lo_s, hi_s, wv_s]
+        if predicate:
+            # per-chunk feature activity (see build_leaf_bins' feature-set
+            # sort): a feature is live for a chunk iff ANY leaf constrains it
+            cons = (lo_s > 0) | (hi_s < float(n_bins - 1))    # (TL_s, f_pad)
+            act = cons.reshape(n_chunks, leaf_chunk, f_pad).any(axis=1)
+            # (n_chunks, 1, f_pad): the LAST TWO dims of the SMEM block must
+            # equal the array dims (TPU lowering divisibility rule), so the
+            # chunk axis rides a leading dim blocked at 1
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, f_pad), lambda i, j: (j, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            args.append(act.astype(jnp.int32)[:, None, :])
+        tl_s = lo_s.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(m_pad // cell_block, n_chunks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (n_out, cell_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_out, m_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((f_pad, cell_block), mdtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * m_pad * tl_s * n_feat_eff + 2 * n_out * m_pad * tl_s,
+                bytes_accessed=4 * (
+                    m_pad * f_pad + 3 * tl_s * f_pad + n_out * m_pad
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    if segments is None:
+        out = one_call(lo_t, hi_t, wv_t, None)
+    else:
+        # branch-free feature skipping: one pallas_call per contiguous
+        # chunk run, compiled with the run's STATIC active-feature union
+        # (the leaf axis is sorted by constrained-feature set, so runs are
+        # long and unions small for shallow trees)
+        out = None
+        for c0, c1, p_list in segments:
+            a, b = c0 * leaf_chunk, c1 * leaf_chunk
+            part = one_call(lo_t[a:b], hi_t[a:b], wv_t[:, a:b], p_list)
+            out = part if out is None else out + part
     return out[:, :m_real].T                                  # (m, R)
 
 
@@ -319,7 +408,7 @@ def forest_predict_bins(
     use_pallas: bool | None = None, interpret: bool = False,
     membership_dtype: str = "float32",
     cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
-    predicate: bool | None = None,
+    predicate: bool | None = None, segments: bool | None = None,
 ) -> jax.Array:
     """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
 
@@ -343,12 +432,16 @@ def forest_predict_bins(
     blesses bf16 as faster with checksums intact.  ``cell_block``/
     ``leaf_chunk`` are tuning knobs for the kernel sweep.
 
-    ``predicate``: skip a feature's whole (leaf-chunk x cell-block) compare
-    tile when no leaf in the chunk constrains it (build_leaf_bins sorts
-    leaf slots by constrained-feature set precisely so these skips fire —
-    shallow trees constrain <= depth of the p features).  Exact: a skipped
-    feature's ok-mask is all-ones by construction.  None = the measured
-    default (on-chip A/B in benchmarks/forest_kernel_sweep.py).
+    ``predicate``/``segments``: two exact mechanisms for skipping a
+    feature's (leaf-chunk x cell-block) compare tile when no leaf in the
+    chunk constrains it (build_leaf_bins sorts leaf slots by
+    constrained-feature set precisely so these skips fire — shallow trees
+    constrain <= depth of the p features).  ``predicate`` branches at
+    runtime via lax.cond (measured 5x SLOWER on chip — the vector carry
+    copies per branch; kept for the record); ``segments`` compiles one
+    pallas_call per contiguous chunk run with the run's STATIC feature
+    union (no branches).  None = the measured defaults (on-chip A/B in
+    benchmarks/forest_predicate_sweep.py).  Both need concrete tables.
     """
     x = jnp.asarray(x, jnp.float32)
     m, p = x.shape
@@ -358,6 +451,8 @@ def forest_predict_bins(
         use_pallas = jax.default_backend() == "tpu"
     if predicate is None:
         predicate = _PREDICATE_DEFAULT
+    if segments is None:
+        segments = _SEGMENTS_DEFAULT
     if jnp.dtype(membership_dtype) == jnp.bfloat16 and tables.n_bins > 256:
         membership_dtype = "float32"  # bf16 integers are exact only to 256
 
@@ -372,6 +467,14 @@ def forest_predict_bins(
     )                                                          # (TL, R)
     wv = (leaf_val[:, None] * leaf_w).astype(jnp.float32)
 
+    seg_spec = None
+    if segments and use_pallas:
+        lc = leaf_chunk
+        while tables.lo.shape[1] % lc:
+            lc //= 2
+        seg_spec = _segments_for(
+            tables.lo, tables.hi, tables.n_bins, tables.n_feat, lc
+        )
     m_pad = _round_up(max(m, 1), cell_block)
     x_pad = jnp.pad(x, ((0, m_pad - m), (0, tables.etab.shape[0] - p)))
     out = _predict_impl(
@@ -389,5 +492,6 @@ def forest_predict_bins(
         leaf_chunk=leaf_chunk,
         n_bins=tables.n_bins,
         predicate=predicate,
+        segments=seg_spec,
     )
     return out[:, 0] if single else out

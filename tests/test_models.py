@@ -579,14 +579,24 @@ def test_bin_interval_predicated_feature_skips(rng):
     np.testing.assert_array_equal(base, pred)   # bit-identical masks
     np.testing.assert_allclose(pred[:, 0], want1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(pred[:, 1], want2, rtol=1e-5, atol=1e-5)
-    # single-response weights through the predicated path too
-    got1 = np.asarray(
+    # the branch-free STATIC-SEGMENT variant (one pallas_call per
+    # contiguous chunk run with the run's feature union) must also match
+    segd = np.asarray(
         forest_predict_bins(
-            s1.trees, xq, s1.tree_active * s1.lr,
-            use_pallas=True, interpret=True, predicate=True,
+            merged, xq, jnp.asarray(wmat), tables=tabs,
+            use_pallas=True, interpret=True, segments=True, leaf_chunk=128,
         )
     )
-    np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(segd, base, rtol=1e-6, atol=1e-6)
+    # single-response weights through both skip paths too
+    for kw in (dict(predicate=True), dict(segments=True, leaf_chunk=128)):
+        got1 = np.asarray(
+            forest_predict_bins(
+                s1.trees, xq, s1.tree_active * s1.lr,
+                use_pallas=True, interpret=True, **kw,
+            )
+        )
+        np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-5)
 
 
 def test_gam_smooth_recovers_nonlinear_additive(rng):
