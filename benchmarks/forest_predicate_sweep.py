@@ -80,36 +80,43 @@ def main(m_cells: int = 2_097_152, n_trees: int = 2000, n_splits: int = 3):
     ref_sum = None
     # mode: "base" (phase-1 winner), "pred" (lax.cond — measured 5x slower,
     # kept one point for the record), "seg" (static-segment variant)
+    # (mode, cell_block, leaf_chunk, max_segments) — phase 3b re-times the
+    # top combos on the boolean-accumulation kernel (4 VPU ops/feature tile
+    # vs 5) and sweeps the segment-count budget: more segments = tighter
+    # per-run feature unions but more pallas_call launches.
     combos = [
-        ("base", 8192, 1024),   # phase-1 winner = the baseline
-        ("seg", 8192, 1024),
-        ("seg", 8192, 512),
-        ("seg", 8192, 256),     # smaller chunks = more homogeneous sets
-        ("seg", 8192, 128),
-        ("seg", 2048, 256),
-        ("pred", 2048, 512),
+        ("base", 8192, 1024, 12),   # phase-1 winner = the baseline
+        ("seg", 8192, 1024, 12),
+        ("seg", 8192, 512, 12),
+        ("seg", 8192, 512, 24),
+        ("seg", 8192, 512, 48),
+        ("seg", 8192, 256, 24),     # smaller chunks = more homogeneous sets
+        ("seg", 16384, 512, 24),    # fewer grid launches if VMEM allows
+        ("seg", 16384, 1024, 12),
     ]
-    for mode, cb, lc in combos:
-        kw = dict(predicate=(mode == "pred"), segments=(mode == "seg"))
+    for mode, cb, lc, ms in combos:
+        kw = dict(predicate=(mode == "pred"), segments=(mode == "seg"),
+                  max_segments=ms)
         try:
             dt, chk = slope_time(lambda: forest_predict_bins(
                 state.trees, xq, w, tables=tabs,
                 cell_block=cb, leaf_chunk=lc, **kw,
             ))
         except Exception as e:  # Mosaic rejection: record and move on
-            print(f"{mode} cb={cb} lc={lc}: FAILED {type(e).__name__}: "
+            print(f"{mode} cb={cb} lc={lc} ms={ms}: FAILED {type(e).__name__}: "
                   f"{str(e)[:150]}", flush=True)
             results.append(dict(mode=mode, cell_block=cb, leaf_chunk=lc,
-                                error=str(e)[:300]))
+                                max_segments=ms, error=str(e)[:300]))
             continue
         if ref_sum is None:
             ref_sum = chk
         rate = m_cells / dt / 1e6
         ok = abs(chk - ref_sum) <= 1e-3 * max(abs(ref_sum), 1.0)
-        print(f"{mode} cb={cb} lc={lc}: {rate:.1f} Mcells/s "
+        print(f"{mode} cb={cb} lc={lc} ms={ms}: {rate:.1f} Mcells/s "
               f"({dt*1e3:.1f} ms/call, checksum {'ok' if ok else 'DRIFT'})",
               flush=True)
         results.append(dict(mode=mode, cell_block=cb, leaf_chunk=lc,
+                            max_segments=ms,
                             mcells_per_s=round(rate, 1), checksum_ok=ok))
     out = dict(
         m_cells=m_cells, n_trees=n_trees, n_leaves=n_leaves,

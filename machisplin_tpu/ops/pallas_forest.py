@@ -229,10 +229,18 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
                 sel,
             )
     else:
+        # boolean accumulation: compares stay vector-mask ops end to end and
+        # the cast to the matvec dtype happens ONCE after the AND chain —
+        # 4 VPU ops per feature tile (ge, le, and, and-accumulate) vs 5 for
+        # the multiply-accumulated mdtype form (measured on chip:
+        # benchmarks/forest_predicate_sweep.json phase 3)
         sel = None
         for f in feats:
-            ok = _ok(f)
-            sel = ok if sel is None else sel * ok
+            binf = bins_ref[f : f + 1, :].astype(jnp.float32)
+            ok = (binf >= lo_ref[:, f : f + 1].astype(jnp.float32)) & (
+                binf <= hi_ref[:, f : f + 1].astype(jnp.float32)
+            )                                                 # (tn, mb) i1
+            sel = ok if sel is None else sel & ok
         if sel is None:  # a segment of unconstrained leaves matches every cell
             sel = jnp.ones((lo_ref.shape[0], x_ref.shape[1]), mdtype)
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
@@ -409,6 +417,7 @@ def forest_predict_bins(
     membership_dtype: str = "float32",
     cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
     predicate: bool | None = None, segments: bool | None = None,
+    max_segments: int = _MAX_SEGMENTS,
 ) -> jax.Array:
     """Weighted forest prediction sum_t w_t * tree_t(x) for (m, p) inputs.
 
@@ -473,7 +482,8 @@ def forest_predict_bins(
         while tables.lo.shape[1] % lc:
             lc //= 2
         seg_spec = _segments_for(
-            tables.lo, tables.hi, tables.n_bins, tables.n_feat, lc
+            tables.lo, tables.hi, tables.n_bins, tables.n_feat, lc,
+            max_segments=max_segments,
         )
     m_pad = _round_up(max(m, 1), cell_block)
     x_pad = jnp.pad(x, ((0, m_pad - m), (0, tables.etab.shape[0] - p)))

@@ -106,6 +106,37 @@ class TPSModel(NamedTuple):
     eff_df: jax.Array       # () or (R,) tr(A), effective degrees of freedom
 
 
+# --- TPU eigh tuning (the solve is 100% eigh at pipeline scale:
+# artifacts/round3/SOLVE_PROFILE.json).  jnp.linalg.eigh on TPU dispatches
+# to jax's QDWH + spectral divide-and-conquer with an internal
+# precision='float32' (6-pass bf16 matmuls) and termination_size=256
+# (base cases go to Jacobi).  These knobs expose that choice so
+# benchmarks/eigh_precision_ab.py can A/B cheaper internal precisions
+# against the f64 host twin; defaults reproduce jnp.linalg.eigh exactly.
+# NOTE precision is trace-time state: changing the globals only affects
+# functions traced afterwards.
+_EIGH_PRECISION = "float32"
+_EIGH_TERMINATION = 256
+
+
+def _eigh_sym(m):
+    """Symmetric eigendecomposition with TPU-path tuning knobs."""
+    if m.dtype == jnp.float32 and jax.default_backend() == "tpu" and (
+        _EIGH_PRECISION != "float32" or _EIGH_TERMINATION != 256
+    ):
+        try:
+            from jax._src.tpu.linalg.eigh import eigh as _tpu_eigh
+
+            return _tpu_eigh(
+                m,
+                precision=_EIGH_PRECISION,
+                termination_size=_EIGH_TERMINATION,
+            )
+        except ImportError:  # private API moved: keep the public behavior
+            pass
+    return jnp.linalg.eigh(m)
+
+
 def tps_factor(coords, mask=None) -> TPSFactor:
     """Factorise the TPS system for one set of knots.
 
@@ -151,7 +182,7 @@ def _tps_factor_impl(coords, mask):
     q, r = jnp.linalg.qr(t, mode="complete")
     q1, q2 = q[:, :3], q[:, 3:]
     m_proj = q2.T @ k_t @ q2
-    evals, u = jnp.linalg.eigh(0.5 * (m_proj + m_proj.T))
+    evals, u = _eigh_sym(0.5 * (m_proj + m_proj.T))
     evals = jnp.maximum(evals, 0.0)  # kernel is c.p.d. of order 2 on this subspace
     q2u = q2 @ u
     bmat = q1.T @ (k_t @ q2u)
