@@ -78,12 +78,15 @@ def main():
             best = min(best, max((d5 - d1) / 4, 1e-9))
         return best
 
+    # run 1 (benchmarks/eigh_precision_ab_run1.json) measured: the pure
+    # Jacobi base case (termination=1024 >= n) is ~2x SLOWER (54.5 vs
+    # 28.2 ms), and raw bfloat16 destroys the fit (gap 0.50 sd).  Run 2
+    # uses the precision enum's real names: 'high' = 3-pass bf16 matmuls,
+    # 'tensorfloat32' = tf32 passes.
     combos = [
         ("float32", 256),       # control == jnp.linalg.eigh
-        ("bfloat16_3x", 256),
-        ("float32", 1024),      # pure Jacobi base case at n=810
-        ("bfloat16_3x", 1024),
-        ("bfloat16", 256),      # expected to fail accuracy; for the record
+        ("high", 256),
+        ("tensorfloat32", 256),
     ]
     results = []
     control_gap = None

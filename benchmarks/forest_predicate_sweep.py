@@ -50,14 +50,15 @@ def main(m_cells: int = 2_097_152, n_trees: int = 2000, n_splits: int = 3):
     )
     w = state.tree_active * state.lr
     xq = jnp.asarray(rng.standard_normal((m_cells, p)).astype(np.float32))
-    tabs = build_leaf_bins(state.trees, n_feat=p)
-    n_leaves = int((tabs.leaf_tree >= 0).sum())
-    # how much the sort can save: mean active features per 512-leaf chunk
-    cons = (tabs.lo[:p] > 0) | (tabs.hi[:p] < tabs.n_bins - 1)
-    act512 = cons.reshape(p, -1, 512).any(axis=2)
-    print(f"{n_leaves} leaves, {tabs.n_bins} bins, "
-          f"mean active features/chunk(512): {act512.sum(0).mean():.2f} of {p}",
-          flush=True)
+    tabs_full = build_leaf_bins(state.trees, n_feat=p, drop_leaf=False)
+    tabs_drop = build_leaf_bins(state.trees, n_feat=p, drop_leaf=True)
+    for name, tabs in (("full", tabs_full), ("drop", tabs_drop)):
+        n_leaves = int((tabs.leaf_tree >= 0).sum())
+        cons = (tabs.lo[:p] > 0) | (tabs.hi[:p] < tabs.n_bins - 1)
+        act512 = cons.reshape(p, -1, 512).any(axis=2)
+        print(f"{name}: {n_leaves} leaves, {tabs.n_bins} bins, "
+              f"mean active features/chunk(512): "
+              f"{act512.sum(0).mean():.2f} of {p}", flush=True)
 
     def slope_time(fn):
         s0 = float(jnp.nansum(fn()))  # compile + settle
@@ -84,19 +85,25 @@ def main(m_cells: int = 2_097_152, n_trees: int = 2000, n_splits: int = 3):
     # top combos on the boolean-accumulation kernel (4 VPU ops/feature tile
     # vs 5) and sweeps the segment-count budget: more segments = tighter
     # per-run feature unions but more pallas_call launches.
+    # phase 3d: the drop-leaf tables (one leaf per tree folded into a
+    # constant — 25% fewer slots for 4-leaf trees) x the segment variant.
+    # History: 3b boolean i1 accumulation was 20-40% SLOWER
+    # (forest_predicate_sweep_phase3b.json); 3c min-slack arithmetic tied
+    # the compare/multiply form (best 32.7 at seg/512/ms24); cb=16384
+    # compiled but lost ~10%; the lax.cond predicate runs at 6 Mcells/s.
     combos = [
-        ("base", 8192, 1024, 12),   # phase-1 winner = the baseline
-        ("seg", 8192, 1024, 12),
-        ("seg", 8192, 512, 12),
-        ("seg", 8192, 512, 24),
-        ("seg", 8192, 512, 48),
-        ("seg", 8192, 256, 24),     # smaller chunks = more homogeneous sets
-        ("seg", 16384, 512, 24),    # fewer grid launches if VMEM allows
-        ("seg", 16384, 1024, 12),
+        ("full-base", 8192, 1024, 12),   # phase-1 winner = the baseline
+        ("full-seg", 8192, 512, 24),     # 3c winner on full tables
+        ("drop-base", 8192, 1024, 12),
+        ("drop-seg", 8192, 512, 24),
+        ("drop-seg", 8192, 512, 12),
+        ("drop-seg", 8192, 256, 24),
     ]
     for mode, cb, lc, ms in combos:
-        kw = dict(predicate=(mode == "pred"), segments=(mode == "seg"),
+        drop, variant = mode.split("-")
+        kw = dict(predicate=(variant == "pred"), segments=(variant == "seg"),
                   max_segments=ms)
+        tabs = tabs_drop if drop == "drop" else tabs_full
         try:
             dt, chk = slope_time(lambda: forest_predict_bins(
                 state.trees, xq, w, tables=tabs,

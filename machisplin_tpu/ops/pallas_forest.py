@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["LeafBinTables", "build_leaf_bins", "forest_predict_bins"]
 
-_CELL_BLOCK = 2048
+_CELL_BLOCK = 2048       # dense-fallback (CPU) padding granule
+_CELL_BLOCK_TPU = 8192   # measured winner (forest_predicate_sweep.json 3d)
 _LEAF_CHUNK = 512
 _FEAT_GRANULE = 8  # f32 sublane granule; feature axis pads up to a multiple
 # measured default for the predicated feature loop: STAYS False — the
@@ -52,10 +53,17 @@ _FEAT_GRANULE = 8  # f32 sublane granule; feature axis pads up to a multiple
 # compares save), and cb=8192 variants crashed the Mosaic compile.  The
 # branch-free alternative is the static-segment path below (`segments`).
 _PREDICATE_DEFAULT = False
-# measured default for the static-segment path (benchmarks/
-# forest_predicate_sweep.py phase 3)
-_SEGMENTS_DEFAULT = False
-_MAX_SEGMENTS = 12
+# measured default for the static-segment path: ON for the pallas path —
+# the round-4 on-chip A/B (benchmarks/forest_predicate_sweep.json, phase
+# 3d) measured drop-leaf tables + segments at 40.7 Mcells/s vs 21.5 for
+# the phase-1 baseline (cb=8192/lc=1024/ms=12, full tables) and 19.6 for
+# the round-3 default — checksums exact throughout.  Absolute rates on the
+# tunnel vary ~1.5x between sessions; an interleaved best-of-5 rerun on a
+# slower day confirmed the ORDERING (drop-seg 27.5 > drop-base 25.5 >
+# full-base 21.4) even when the winner's absolute rate was down.  The
+# dense fallback ignores it (guarded by use_pallas).
+_SEGMENTS_DEFAULT = True
+_MAX_SEGMENTS = 24
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,13 +80,30 @@ class LeafBinTables(NamedTuple):
     leaf_node: np.ndarray  # (TL_pad,) int32 node id of each leaf slot (0 pad)
     n_feat: int           # real feature count p
     n_bins: int           # B (edges + 1) before lane padding
+    # drop-leaf trick (None = off): node id of ONE leaf per tree excluded
+    # from the slot tables.  A tree's leaves partition bin space
+    # (sum_l sel_l == 1 per cell), so  sum_l w v_l sel_l ==
+    # sum_{l != drop} w (v_l - v_drop) sel_l + w v_drop:  the dropped
+    # leaf's value folds into a per-response constant and its membership
+    # work vanishes — 25% of all slots for the 4-leaf best-first BRTs of
+    # the reference's final models (V73:493).  Exact up to one f32
+    # add/sub rounding per leaf value.
+    drop_node: np.ndarray | None = None  # (T,) int32
 
 
-def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
+def build_leaf_bins(
+    trees, n_feat: int | None = None, drop_leaf: bool = True
+) -> LeafBinTables:
     """Walk every tree's reachable subtree and emit leaf bin-intervals.
 
     trees: a models.trees.Tree pytree of concrete arrays with a leading
     tree axis — feat/thr/internal/left/right (T, N).
+
+    ``drop_leaf``: exclude one leaf per tree from the slot tables (see
+    LeafBinTables.drop_node) — the leaf with the MOST constrained
+    features, so the survivors are the shallow ones and the
+    constrained-feature-set sort below yields tighter segment unions too.
+    forest_predict_bins folds the dropped values into a constant.
     """
     feat = np.asarray(trees.feat)
     thr = np.asarray(trees.thr)
@@ -100,7 +125,9 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
         etab[f, : len(edges[f])] = edges[f]
 
     los, his, l_tree, l_node = [], [], [], []
+    drop_node = np.zeros(t, np.int32) if drop_leaf else None
     for ti in range(t):
+        tree_leaves = []
         stack = [(0, np.zeros(p, np.int64), np.full(p, n_bins - 1, np.int64))]
         while stack:
             q, lo_q, hi_q = stack.pop()
@@ -114,10 +141,20 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
                 stack.append((int(left[ti, q]), lo_l, hi_l))
                 stack.append((int(right[ti, q]), lo_r, hi_r))
             else:
-                los.append(lo_q)
-                his.append(hi_q)
-                l_tree.append(ti)
-                l_node.append(q)
+                tree_leaves.append((q, lo_q, hi_q))
+        if drop_leaf:
+            ncons = [
+                int(np.count_nonzero((lo_q > 0) | (hi_q < n_bins - 1)))
+                for _, lo_q, hi_q in tree_leaves
+            ]
+            di = int(np.argmax(ncons))
+            drop_node[ti] = tree_leaves[di][0]
+            del tree_leaves[di]
+        for q, lo_q, hi_q in tree_leaves:
+            los.append(lo_q)
+            his.append(hi_q)
+            l_tree.append(ti)
+            l_node.append(q)
 
     n_leaves = len(l_tree)
     l_tree = np.asarray(l_tree, np.int32)
@@ -156,7 +193,8 @@ def build_leaf_bins(trees, n_feat: int | None = None) -> LeafBinTables:
     leaf_node = np.zeros(tl_pad, np.int32)
     leaf_tree[:n_leaves] = l_tree
     leaf_node[:n_leaves] = l_node
-    return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins)
+    return LeafBinTables(etab, lo, hi, leaf_tree, leaf_node, p, n_bins,
+                         drop_node)
 
 
 def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
@@ -229,20 +267,27 @@ def _kernel(etab_ref, x_ref, lo_ref, hi_ref, wv_ref, *rest,
                 sel,
             )
     else:
-        # boolean accumulation: compares stay vector-mask ops end to end and
-        # the cast to the matvec dtype happens ONCE after the AND chain —
-        # 4 VPU ops per feature tile (ge, le, and, and-accumulate) vs 5 for
-        # the multiply-accumulated mdtype form (measured on chip:
-        # benchmarks/forest_predicate_sweep.json phase 3)
-        sel = None
+        # min-slack accumulation: lo <= bin <= hi  <=>  min over features of
+        # min(bin - lo, hi - bin) >= 0, so the chain is 4 plain f32 VPU ops
+        # per feature tile (sub, sub, min, min-accumulate) plus ONE compare+
+        # cast per chunk, vs 5 for the compare/AND/cast/multiply form.  All
+        # quantities are small integers, so every sub/min is exact in f32
+        # (and in bf16 to 256).  A boolean-AND accumulation (i1 masks, one
+        # trailing cast) was measured 40% SLOWER on chip — Mosaic's mask
+        # vregs cost more than the f32 ops they replace (sweep 3b,
+        # benchmarks/forest_predicate_sweep_phase3b.json).
+        slack = None
         for f in feats:
             binf = bins_ref[f : f + 1, :].astype(jnp.float32)
-            ok = (binf >= lo_ref[:, f : f + 1].astype(jnp.float32)) & (
-                binf <= hi_ref[:, f : f + 1].astype(jnp.float32)
-            )                                                 # (tn, mb) i1
-            sel = ok if sel is None else sel & ok
-        if sel is None:  # a segment of unconstrained leaves matches every cell
+            t = jnp.minimum(
+                binf - lo_ref[:, f : f + 1].astype(jnp.float32),
+                hi_ref[:, f : f + 1].astype(jnp.float32) - binf,
+            )                                                 # (tn, mb)
+            slack = t if slack is None else jnp.minimum(slack, t)
+        if slack is None:  # a segment of unconstrained leaves matches all
             sel = jnp.ones((lo_ref.shape[0], x_ref.shape[1]), mdtype)
+        else:
+            sel = (slack >= 0.0).astype(mdtype)
     # leaf VALUES stay f32 (precision doctrine): the exact 0/1 mask upcasts
     # for the matvec — same masks as the all-f32 kernel, agreeing to the
     # f32 dot's accumulation order.  wv carries one row per output column
@@ -309,7 +354,7 @@ def _segments_for(lo, hi, n_bins, p_real, leaf_chunk,
         "cell_block", "leaf_chunk", "n_bins", "predicate", "segments",
     ),
 )
-def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
+def _predict_impl(etab, x_pad, lo, hi, wv, offset, *, p_real, m_real, use_pallas,
                   interpret=False, membership_dtype="float32",
                   cell_block=_CELL_BLOCK, leaf_chunk=_LEAF_CHUNK,
                   n_bins=0, predicate=False, segments=None):
@@ -325,7 +370,7 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             bins[:, :, None] <= hi[None, :p_real, :]
         )
         sel = jnp.all(ok, axis=1).astype(jnp.float32)         # (m, TL)
-        return (sel @ wv)[:m_real]                            # (m, R)
+        return (sel @ wv)[:m_real] + offset[None, :]          # (m, R)
 
     mdtype = jnp.dtype(membership_dtype)
     b_pad = etab.shape[1]
@@ -408,14 +453,14 @@ def _predict_impl(etab, x_pad, lo, hi, wv, *, p_real, m_real, use_pallas,
             a, b = c0 * leaf_chunk, c1 * leaf_chunk
             part = one_call(lo_t[a:b], hi_t[a:b], wv_t[:, a:b], p_list)
             out = part if out is None else out + part
-    return out[:, :m_real].T                                  # (m, R)
+    return (out[:, :m_real] + offset[:, None]).T              # (m, R)
 
 
 def forest_predict_bins(
     trees, x, weights, tables: LeafBinTables | None = None,
     use_pallas: bool | None = None, interpret: bool = False,
     membership_dtype: str = "float32",
-    cell_block: int = _CELL_BLOCK, leaf_chunk: int = _LEAF_CHUNK,
+    cell_block: int | None = None, leaf_chunk: int = _LEAF_CHUNK,
     predicate: bool | None = None, segments: bool | None = None,
     max_segments: int = _MAX_SEGMENTS,
 ) -> jax.Array:
@@ -458,6 +503,10 @@ def forest_predict_bins(
         tables = build_leaf_bins(trees, n_feat=p)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if cell_block is None:
+        # the pallas kernel wants big blocks (8192 measured best on v5e);
+        # the dense fallback pads m up to cell_block, so keep it small there
+        cell_block = _CELL_BLOCK_TPU if use_pallas else _CELL_BLOCK
     if predicate is None:
         predicate = _PREDICATE_DEFAULT
     if segments is None:
@@ -474,6 +523,19 @@ def forest_predict_bins(
         (tables.leaf_tree >= 0)[:, None],
         wcols[jnp.clip(tables.leaf_tree, 0, None)], 0.0,
     )                                                          # (TL, R)
+    if tables.drop_node is not None:
+        # drop-leaf algebra (see LeafBinTables.drop_node): slot values are
+        # relative to the tree's dropped leaf; the dropped values enter as
+        # a per-response constant.  Pad slots carry zero weight, so their
+        # shift is harmless.
+        tw = int(tables.drop_node.shape[0])
+        vdrop = trees.value[jnp.arange(tw), jnp.asarray(tables.drop_node)]
+        leaf_val = leaf_val - vdrop[jnp.clip(tables.leaf_tree, 0, tw - 1)]
+        offset = jnp.asarray(vdrop, jnp.float32) @ wcols[:tw].astype(
+            jnp.float32
+        )                                                      # (R,)
+    else:
+        offset = jnp.zeros((wcols.shape[1],), jnp.float32)
     wv = (leaf_val[:, None] * leaf_w).astype(jnp.float32)
 
     seg_spec = None
@@ -493,6 +555,7 @@ def forest_predict_bins(
         jnp.asarray(tables.lo),
         jnp.asarray(tables.hi),
         wv,
+        offset,
         p_real=tables.n_feat,
         m_real=m,
         use_pallas=use_pallas,
