@@ -349,6 +349,11 @@ def forest_predict_1e8(jax, jnp):
     state = brt.fit(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
                     n_trees=n_trees, n_splits=3, lr=0.05)
     w = state.tree_active * state.lr
+    # force the async boosting fit to completion BEFORE timing the table
+    # walk: build_leaf_bins' np.asarray otherwise blocks on the whole
+    # 2000-tree fit and t_walk records fit time, not walk time (the
+    # round-4 147 s "table_walk_s" artifact; the walk itself is ~0.2 s)
+    float(jnp.nansum(state.trees.thr))
     t0 = time.perf_counter()
     tabs = build_leaf_bins(state.trees, n_feat=p)
     t_walk = time.perf_counter() - t0
