@@ -50,8 +50,34 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.quick)
 
 
+def _ensure_native_built():
+    """Build native/libmachisplin_native.so once per checkout when a
+    toolchain exists, so the 4 native tests run by default instead of
+    silently skipping in a fresh clone (round-4 VERDICT #7).  Skips
+    gracefully (tests keep their skipif) when g++/make are absent or the
+    build fails."""
+    import shutil
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(here, "native", "libmachisplin_native.so")
+    src = os.path.join(here, "native", "machisplin_native.cpp")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    if not (shutil.which("make") and shutil.which("g++")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(here, "native")],
+            check=False, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def pytest_configure(config):
     if not _NEED_REEXEC:
+        _ensure_native_built()
         return
     import subprocess
 
