@@ -48,9 +48,10 @@ def main():
         print(letter, out[letter], flush=True)
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
-    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "round3")
+    rnd = os.environ.get("MACHISPLIN_ROUND", "5")
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", f"round{rnd}")
     os.makedirs(art, exist_ok=True)
-    with open(os.path.join(art, "CV_LETTERS.json"), "w") as f:
+    with open(os.path.join(art, f"CV_LETTERS_r{rnd.zfill(2)}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 

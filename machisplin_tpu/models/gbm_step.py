@@ -74,6 +74,40 @@ class GBMStepResult(NamedTuple):
     cv_statistics: dict[str, Any] | None = None    # V73:2194-2197
 
 
+def stopping_fired(mean_curve, tolerance, win: int = 10):
+    """The reference's stopping test evaluated at the LAST checkpoint of
+    ``mean_curve`` (V73:1957-1961, 1-indexed R): with j checkpoints grown,
+    test1 = mean(cv[(j-9):j]) — the last ``win`` checkpoint means — and
+    test2 = mean(cv[(j-19):(j-9)]) — the ``win + 1`` checkpoints
+    OVERLAPPING test1 at index j-9; the rule fires when
+    (test2 - test1) <= tolerance.  Only armed once 2*win checkpoints exist
+    (the reference grows 50-tree steps and never tests before j=20).
+
+    mean_curve: (ncp, ...) fold-mean holdout deviance at checkpoints
+    1..ncp; tolerance broadcastable over the trailing dims.  Returns (...)
+    bool.  Single source of truth for the host-loop bookkeeping in
+    ``_cv_deviance_curve_multi`` and the analytic stopping fixture
+    (tests/test_parity_invariants.py) — the jitted ``_cv_deviance_curve``
+    carries the same arithmetic inside its while_loop cond.
+    """
+    mean_curve = np.asarray(mean_curve)
+    ncp = mean_curve.shape[0]
+    if ncp < 2 * win:
+        return np.zeros(mean_curve.shape[1:], bool)
+    test1 = mean_curve[ncp - win :].mean(axis=0)
+    test2 = mean_curve[ncp - 2 * win : ncp - win + 1].mean(axis=0)
+    return (test2 - test1) <= tolerance
+
+
+def best_trees_from_curve(mean_curve, stopped, step_size: int) -> int:
+    """best.trees = the first checkpoint attaining the minimum mean holdout
+    deviance among the checkpoints grown before stopping (V73:1978-1983).
+    ``mean_curve``: (ncp,) fold-mean deviance; ``stopped``: checkpoints grown.
+    """
+    j_f = max(int(stopped), 1)
+    return (int(np.argmin(np.asarray(mean_curve)[:j_f])) + 1) * step_size
+
+
 def _np_seed(key):
     """numpy seed material from a jax PRNG key (old-style or typed)."""
     try:
@@ -423,15 +457,10 @@ def _cv_deviance_curve_multi(
         c_here = min(n_cyc, max_cp - j)
         dev[j : j + c_here] = np.asarray(dev_c)[:c_here]
         for jj in range(j, j + c_here):
-            mean_curve = dev[: jj + 1].mean(axis=2)          # (jj+1, F)
-            if jj + 1 >= 20:
-                # reference windows (V73:1957-1961, 1-indexed): test1 =
-                # mean(cv[(j-9):j]) — 10 values; test2 = mean(cv[(j-19):(j-9)])
-                # — 11 values OVERLAPPING test1 at checkpoint j-9
-                test1 = mean_curve[jj + 1 - win : jj + 1].mean(axis=0)
-                test2 = mean_curve[jj + 1 - 2 * win : jj + 2 - win].mean(axis=0)
-                fire = ((test2 - test1) <= tolerance) & (stopped > max_cp)
-                stopped[fire] = jj + 1
+            fire = stopping_fired(
+                dev[: jj + 1].mean(axis=2), tolerance, win=win
+            ) & (stopped > max_cp)
+            stopped[fire] = jj + 1
         j += c_here
     stopped = np.minimum(stopped, j)
     tdev_out = np.concatenate(tdev_chunks) if tdev_chunks else None
@@ -529,8 +558,7 @@ def fit_outer_batched(
     cv_mean = np.concatenate(cv_parts, axis=1)[:, :f_outer]  # (max_cp, F)
     best_trees = np.zeros(f_outer, np.int64)
     for f in range(f_outer):
-        j_f = max(int(stopped[f]), 1)
-        best_trees[f] = (int(np.argmin(cv_mean[:j_f, f])) + 1) * step_size
+        best_trees[f] = best_trees_from_curve(cv_mean[:, f], stopped[f], step_size)
 
     budget = int(-(-best_trees.max() // step_size) * step_size)
     # each outer fold's final refit bins on ITS training subset's quantiles
