@@ -252,7 +252,7 @@ def _cv_deviance_curve(
 
 @functools.lru_cache(maxsize=32)
 def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
-                   n_cycles=1, with_fhist=False):
+                   n_cycles=1, with_fhist=False, shared_bins=False):
     """``n_cycles`` jitted growth cycles for the batched CV curve: advances
     every (outer, inner) boosting chain by n_cycles x step_size trees and
     returns the per-cycle holdout deviances (n_cycles, F, K).  Cached so
@@ -271,46 +271,75 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
 
     @jax.jit
     def cycle(key_j, fmat, xb, edges, x, y, train_w, test_w, test_sum):
-        # xb (F, K, n, p) / edges (F, K, p, nb-1): every (outer, inner) chain
-        # bins on ITS OWN training subset's quantiles (per-fold gbm calls).
-        # y is (F, n): outer chains may carry DIFFERENT responses, so one
-        # program serves every (response, outer-fold) pair at once.
+        # xb / edges: with shared_bins=False every (outer, inner) chain bins
+        # on ITS OWN training subset's quantiles (per-fold gbm calls):
+        # xb (F, K, n, p), edges (F, K, p, nb-1).  With shared_bins=True the
+        # K inner chains of each outer fold share the OUTER subset's
+        # quantiles — xb (F, n, p), edges (F, p, nb-1) — so each split
+        # step's histogram contraction reads each one-hot ONCE for a
+        # (4K, n) A-side instead of K times (the split step is HBM-bound on
+        # those reads; round-5 CV_LETTERS).  y is (F, n): outer chains may
+        # carry DIFFERENT responses, so one program serves every
+        # (response, outer-fold) pair at once.
         f_outer, n_folds, n = fmat.shape
         from .trees import flat_bin_onehot
 
         nb = int(edges.shape[-1]) + 1
-        xb_flat = xb.reshape((f_outer * n_folds,) + xb.shape[2:])
-        # one bf16 one-hot per chain, shared by EVERY tree this dispatch
-        b1h = jax.vmap(lambda q: flat_bin_onehot(q, nb))(xb_flat)
+        if shared_bins:
+            from .trees import assigned_predict_batched, grow_bestfirst_trees_shared
 
-        def tree_step(fm, key_t):
-            def per_model(f_k, y_k, w_k, xb_k, edges_k, b1h_k, key_k):
-                bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
-                tree, cur = grow_bestfirst_tree(
-                    xb_k, edges_k, y_k - f_k, bag,
-                    n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
-                    bin1h=b1h_k,
+            b1h = jax.vmap(lambda q: flat_bin_onehot(q, nb))(xb)  # (F, n, p*nb)
+
+            def tree_step(fm, key_t):
+                def per_outer(f_f, y_f, w_f, xb_f, b1h_f, key_f):
+                    # f_f (K, n): all K inner chains of this outer fold
+                    bag = (
+                        jax.random.uniform(key_f, (n_folds, n)) < bag_fraction
+                    ).astype(x.dtype) * w_f
+                    value, cur = grow_bestfirst_trees_shared(
+                        xb_f, y_f[None, :] - f_f, bag,
+                        n_splits=n_splits, min_leaf=min_leaf, bin1h=b1h_f,
+                    )
+                    return f_f + lr * assigned_predict_batched(
+                        value, cur, 2 * n_splits + 1
+                    )
+
+                keys = jax.random.split(key_t, f_outer)
+                return jax.vmap(per_outer)(fm, y, train_w, xb, b1h, keys), None
+
+        else:
+            xb_flat = xb.reshape((f_outer * n_folds,) + xb.shape[2:])
+            # one bf16 one-hot per chain, shared by EVERY tree this dispatch
+            b1h = jax.vmap(lambda q: flat_bin_onehot(q, nb))(xb_flat)
+
+            def tree_step(fm, key_t):
+                def per_model(f_k, y_k, w_k, xb_k, edges_k, b1h_k, key_k):
+                    bag = (jax.random.uniform(key_k, (n,)) < bag_fraction).astype(x.dtype) * w_k
+                    tree, cur = grow_bestfirst_tree(
+                        xb_k, edges_k, y_k - f_k, bag,
+                        n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
+                        bin1h=b1h_k,
+                    )
+                    # training-row prediction from the grower's own assignment —
+                    # no tree_predict gather walk (see grow_bestfirst_tree doc)
+                    from .trees import assigned_predict
+
+                    return f_k + lr * assigned_predict(tree.value, cur, 2 * n_splits + 1)
+
+                # single-level vmap over the flattened (outer x inner) axis —
+                # nested vmaps of the tree grower have faulted the TPU runtime
+                keys = jax.random.split(key_t, f_outer * n_folds)
+                y_flat = jnp.broadcast_to(y[:, None, :], (f_outer, n_folds, n))
+                flat = jax.vmap(per_model)(
+                    fm.reshape(f_outer * n_folds, n),
+                    y_flat.reshape(f_outer * n_folds, n),
+                    train_w.reshape(f_outer * n_folds, n),
+                    xb_flat,
+                    edges.reshape((f_outer * n_folds,) + edges.shape[2:]),
+                    b1h,
+                    keys,
                 )
-                # training-row prediction from the grower's own assignment —
-                # no tree_predict gather walk (see grow_bestfirst_tree doc)
-                from .trees import assigned_predict
-
-                return f_k + lr * assigned_predict(tree.value, cur, 2 * n_splits + 1)
-
-            # single-level vmap over the flattened (outer x inner) axis —
-            # nested vmaps of the tree grower have faulted the TPU runtime
-            keys = jax.random.split(key_t, f_outer * n_folds)
-            y_flat = jnp.broadcast_to(y[:, None, :], (f_outer, n_folds, n))
-            flat = jax.vmap(per_model)(
-                fm.reshape(f_outer * n_folds, n),
-                y_flat.reshape(f_outer * n_folds, n),
-                train_w.reshape(f_outer * n_folds, n),
-                xb_flat,
-                edges.reshape((f_outer * n_folds,) + edges.shape[2:]),
-                b1h,
-                keys,
-            )
-            return flat.reshape(f_outer, n_folds, n), None
+                return flat.reshape(f_outer, n_folds, n), None
 
         train_sum = jnp.maximum(jnp.sum(train_w, axis=2), 1.0) if with_fhist else None
 
@@ -343,8 +372,8 @@ def _chain_sharding(mesh, ndim):
 class MultiCurve(NamedTuple):
     stopped: jax.Array            # (F,) stopping checkpoint per chain
     dev: jax.Array                # (max_cp, F, K) holdout deviance (inf pad)
-    edges: jax.Array              # (F, K, p, nb-1) per-chain bin edges
-    xb: jax.Array                 # (F, K, n, p) per-chain binned data
+    edges: jax.Array              # (F, K, p, nb-1) bin edges; (F, p, nb-1) shared_bins
+    xb: jax.Array                 # (F, K, n, p) binned data; (F, n, p) shared_bins
     tdev: Any = None              # (max_cp, F, K) train deviance (keep_fhist)
     fhist: Any = None             # (max_cp, F, K, n) link fits (keep_fhist)
 
@@ -352,7 +381,7 @@ class MultiCurve(NamedTuple):
 def _cv_deviance_curve_multi(
     key, x, y, w_outer, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
     step_size, max_trees, tolerance, n_bins, mesh=None, selectors=None,
-    keep_fhist=False,
+    keep_fhist=False, shared_bins=False,
 ):
     """All OUTER folds' gbm.step CV curves, batched.
 
@@ -404,9 +433,16 @@ def _cv_deviance_curve_multi(
         (selectors[:, None, :] == fold_ids[None, :, None]).astype(x.dtype)
         * w_outer[:, None, :]
     )
-    # per-(outer, inner) split candidates from each chain's training subset
-    edges = jax.vmap(jax.vmap(lambda wk: make_bins_masked(x, wk, n_bins)))(train_w)
-    xb = jax.vmap(jax.vmap(lambda e: bin_data(x, e)))(edges)  # (F, K, n, p)
+    if shared_bins:
+        # split candidates from each OUTER chain's training subset, shared
+        # by its K inner chains (the shared_bins deviation: ~K x less
+        # one-hot HBM traffic per split step; see grow_bestfirst_trees_shared)
+        edges = jax.vmap(lambda wf: make_bins_masked(x, wf, n_bins))(w_outer)
+        xb = jax.vmap(lambda e: bin_data(x, e))(edges)        # (F, n, p)
+    else:
+        # per-(outer, inner) split candidates from each chain's training subset
+        edges = jax.vmap(jax.vmap(lambda wk: make_bins_masked(x, wk, n_bins)))(train_w)
+        xb = jax.vmap(jax.vmap(lambda e: bin_data(x, e)))(edges)  # (F, K, n, p)
     test_sum = jnp.maximum(jnp.sum(test_w, axis=2), 1.0)     # (F, K)
     train_sum = jnp.maximum(jnp.sum(train_w, axis=2), 1.0)
     f0 = jnp.sum(train_w * y[:, None, :], axis=2) / train_sum
@@ -423,7 +459,7 @@ def _cv_deviance_curve_multi(
     cycle_fn = _cycle_program(
         n_splits=n_splits, lr=lr, bag_fraction=bag_fraction,
         min_leaf=min_leaf, step_size=step_size, n_cycles=n_cyc,
-        with_fhist=keep_fhist,
+        with_fhist=keep_fhist, shared_bins=shared_bins,
     )
     fmat = jnp.broadcast_to(f0[:, :, None], (f_outer, n_folds, n)).astype(x.dtype)
     if mesh is not None:
@@ -489,9 +525,21 @@ def fit_outer_batched(
     n_bins: int = 64,
     outer_chunk: int = 20,
     mesh=None,
+    shared_bins: bool = True,
 ):
     """gbm.step for ALL outer CV folds at once (the run_cv fast path;
     gaussian only — the only family mltps's CV uses, V73:247).
+
+    ``shared_bins`` (default True): the K inner chains of each outer fold
+    share split candidates from the OUTER training subset's quantiles
+    instead of each inner fold's own 90% — ~K x less one-hot HBM traffic
+    per split step (the CV phase's measured bound, round-5 CV_LETTERS).
+    Documented deviation: the reference's per-fold gbm::gbm calls split on
+    exact raw values of their own subset; 64-bin quantile candidates from
+    90% vs 100% of an outer subset differ negligibly in split quality, and
+    either binning is already an approximation of exact gbm splits.
+    ``shared_bins=False`` restores per-inner-fold quantiles (rounds 1-4
+    behavior).
 
     ``mesh``: device mesh — the outer-chain axis shards across it (chunks
     round up to the mesh size; chains are independent so results match the
@@ -534,6 +582,7 @@ def fit_outer_batched(
         n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
         bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
         max_trees=max_trees, tolerance=tol, n_bins=n_bins, mesh=mesh,
+        shared_bins=shared_bins,
     )
     n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     chunk = max(1, min(outer_chunk, f_outer))
@@ -676,6 +725,7 @@ def fit_multi(
     max_restarts: int = 3,
     statistics: bool = False,
     mesh=None,
+    shared_bins: bool = True,
 ) -> list:
     """gbm.step final fits for SEVERAL responses batched into one device
     program sequence (gaussian, unweighted rows — mltps's final-fit case,
@@ -698,6 +748,11 @@ def fit_multi(
     whose holdout deviance rises within the first 4 cycles re-enter the
     next batched curve at half their rate; groups are keyed by current lr
     so restarted responses batch together.
+
+    ``shared_bins`` (default True): each response's K inner chains share
+    split candidates binned on the FULL data (w == 1 here, so the "outer
+    subset" is all rows) — see ``fit_outer_batched`` for the rationale and
+    the deviation note; False restores per-inner-fold quantiles.
 
     ``statistics=False`` (default) skips the CV/self statistics blocks —
     they checkpoint every fold fit through the device->host link (pure
@@ -750,6 +805,7 @@ def fit_multi(
             bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
             max_trees=max_trees, tolerance=tol[idx], n_bins=n_bins,
             selectors=selectors[idx], keep_fhist=statistics, mesh=mesh,
+            shared_bins=shared_bins,
         )
         cv_mean = np.asarray(jnp.mean(curve.dev, axis=2))     # (max_cp, f_pad)
         stopped_np = np.asarray(curve.stopped)

@@ -376,6 +376,112 @@ def assigned_predict(value, cur, n_total):
     return jnp.matmul(node1h, value, precision=jax.lax.Precision.HIGHEST)
 
 
+def grow_bestfirst_trees_shared(
+    xb, ys, ws, *, n_splits: int, min_leaf: float, bin1h,
+):
+    """K best-first trees grown in lockstep on ONE shared binned dataset.
+
+    The bandwidth-shaped variant of ``grow_bestfirst_tree`` for gbm.step's
+    inner-fold chains: all K chains of one outer fold share ``xb``/``bin1h``
+    (split candidates from the OUTER training subset's quantiles instead of
+    each inner fold's own 90% — the shared_bins deviation, documented in
+    gbm_step), so each split step's histogram contraction reads the one-hot
+    ONCE for a (4K, n) A-side instead of K times for (4, n) sides.  The
+    split step is HBM-bound on exactly those one-hot reads (round-5
+    CV_LETTERS attribution), so this is ~K x less traffic per step.
+
+    xb (n, p) shared binned data; ys (K, n) per-chain regression targets
+    (boosting gradients); ws (K, n) per-chain bag weights (0 = out-of-bag /
+    masked).  Returns (value (K, n_total), cur (K, n)) — the boosting driver
+    only needs leaf values and training-row assignments (``feat``/``thr``
+    bookkeeping is dead weight on the CV curve, which discards the trees).
+    Selection semantics per chain are identical to ``grow_bestfirst_tree``.
+    """
+    n, p = xb.shape
+    k_chains = ws.shape[0]
+    dtype = ys.dtype
+    n_total = 2 * n_splits + 1
+    neg = jnp.asarray(-jnp.inf, dtype)
+    iota_nodes = jnp.arange(n_total)
+    p_iota = jnp.arange(p)
+    wys = ws * ys
+
+    # root statistics for every chain: ONE contraction against the shared
+    # one-hot, rows [w_0..w_{K-1}, wy_0..wy_{K-1}]
+    nb = bin1h.shape[1] // p
+    root = _hist_matmul(jnp.concatenate([ws, wys], axis=0), bin1h)  # (2K, p*nb)
+    g0, f0, b0 = _best_splits(
+        root[:k_chains].reshape(k_chains, p, nb),
+        root[k_chains:].reshape(k_chains, p, nb),
+        min_leaf,
+    )
+    node_gain = jnp.full((k_chains, n_total), neg, dtype).at[:, 0].set(g0)
+    node_feat = jnp.zeros((k_chains, n_total), jnp.int32).at[:, 0].set(f0)
+    node_bin = jnp.zeros((k_chains, n_total), jnp.int32).at[:, 0].set(b0)
+    cur = jnp.zeros((k_chains, n), jnp.int32)
+    xb_f = xb.astype(dtype)
+
+    for k in range(n_splits):
+        q = jnp.argmax(node_gain, axis=1)                   # (K,)
+        gq = jnp.max(node_gain, axis=1)
+        ok = gq > 1e-9
+        qsel = iota_nodes[None, :] == q[:, None]            # (K, n_total)
+        bfq = jnp.sum(jnp.where(qsel, node_feat, 0), axis=1, dtype=jnp.int32)
+        bbq = jnp.sum(jnp.where(qsel, node_bin, 0), axis=1, dtype=jnp.int32)
+        lid, rid = 2 * k + 1, 2 * k + 2                     # static child slots
+        # per-chain split-feature column of the SHARED data: one-hot matmul
+        fsel = (bfq[:, None] == p_iota[None, :]).astype(dtype)      # (K, p)
+        sample_bin = jnp.matmul(
+            fsel, xb_f.T, precision=jax.lax.Precision.HIGHEST
+        )                                                            # (K, n)
+        in_parent = ok[:, None] & (cur == q[:, None])
+        go_left = in_parent & (sample_bin <= bbq[:, None].astype(dtype))
+        lm = go_left.astype(dtype)
+        pm = in_parent.astype(dtype)
+        # left + parent histograms for ALL chains in ONE contraction against
+        # the shared one-hot; right children by subtraction
+        h = _hist_matmul(
+            jnp.concatenate([ws * lm, wys * lm, ws * pm, wys * pm], axis=0),
+            bin1h,
+        )                                                    # (4K, p*nb)
+        hl_w, hl_wy = h[:k_chains], h[k_chains : 2 * k_chains]
+        hp_w, hp_wy = h[2 * k_chains : 3 * k_chains], h[3 * k_chains :]
+        cw = jnp.concatenate([hl_w, hp_w - hl_w], axis=0).reshape(
+            2 * k_chains, p, nb
+        )
+        cwy = jnp.concatenate([hl_wy, hp_wy - hl_wy], axis=0).reshape(
+            2 * k_chains, p, nb
+        )
+        cg, cf, cb = _best_splits(cw, cwy, min_leaf)
+        node_gain = jnp.where(qsel, neg, node_gain)          # parent now internal
+        node_gain = node_gain.at[:, lid].set(jnp.where(ok, cg[:k_chains], neg))
+        node_gain = node_gain.at[:, rid].set(jnp.where(ok, cg[k_chains:], neg))
+        node_feat = node_feat.at[:, lid].set(cf[:k_chains]).at[:, rid].set(cf[k_chains:])
+        node_bin = node_bin.at[:, lid].set(cb[:k_chains]).at[:, rid].set(cb[k_chains:])
+        cur = jnp.where(
+            in_parent,
+            jnp.where(go_left, lid, rid),
+            cur,
+        )
+
+    node1h = (cur[:, :, None] == iota_nodes[None, None, :]).astype(dtype)  # (K, n, T)
+    sw = jnp.einsum("knt,kn->kt", node1h, ws,
+                    precision=jax.lax.Precision.HIGHEST)
+    swy = jnp.einsum("knt,kn->kt", node1h, wys,
+                     precision=jax.lax.Precision.HIGHEST)
+    value = swy / jnp.maximum(sw, 1e-12)
+    return value, cur
+
+
+def assigned_predict_batched(value, cur, n_total):
+    """K-batched ``assigned_predict``: value (K, T), cur (K, n) -> (K, n)."""
+    node1h = (cur[:, :, None] == jnp.arange(n_total)[None, None, :]).astype(
+        value.dtype
+    )
+    return jnp.einsum("knt,kt->kn", node1h, value,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def build_path_matrices(trees: Tree):
     """Host-side ±1 ancestor-path encoding of best-first trees for the MXU
     prediction path.
