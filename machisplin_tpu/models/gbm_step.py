@@ -47,8 +47,10 @@ from .base import as_weight
 from .deviance import calc_deviance
 from .families import f0_init, gradient, leaf_adjust, response
 from .trees import (
+    Tree,
     bin_data,
     grow_bestfirst_tree,
+    make_bins,
     make_bins_masked,
 )
 
@@ -252,7 +254,8 @@ def _cv_deviance_curve(
 
 @functools.lru_cache(maxsize=32)
 def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
-                   n_cycles=1, with_fhist=False, shared_bins=False):
+                   n_cycles=1, with_fhist=False, shared_bins=False,
+                   global_bins=False, mesh=None):
     """``n_cycles`` jitted growth cycles for the batched CV curve: advances
     every (outer, inner) boosting chain by n_cycles x step_size trees and
     returns the per-cycle holdout deviances (n_cycles, F, K).  Cached so
@@ -285,7 +288,61 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
         from .trees import flat_bin_onehot
 
         nb = int(edges.shape[-1]) + 1
-        if shared_bins:
+        if global_bins:
+            # ONE split-candidate table for EVERY chain (xb (n, p), edges
+            # (p, nb-1) from full-data quantiles): all F x K chains ride a
+            # single fused Pallas tree kernel per boosting step — one
+            # launch instead of the ~1100 latency-bound XLA ops the round-5
+            # SPLIT_STEP_ABLATION attributed the CV wall to.  See
+            # fit_outer_batched's global_bins deviation note.
+            from ..ops.pallas_grow import gbm_tree_update
+            from .trees import flat_bin_cum_onehot
+
+            cum1h = flat_bin_cum_onehot(xb, nb)               # (n, p*nb) bf16
+            xbt = xb.T.astype(x.dtype)                        # (p, n)
+            y_flat = jnp.broadcast_to(
+                y[:, None, :], (f_outer, n_folds, n)
+            ).reshape(f_outer * n_folds, n)
+
+            def update(xt, c1h, yf, ff, bf):
+                return gbm_tree_update(
+                    xt, c1h, yf, ff, bf,
+                    n_splits=n_splits, nb=nb, min_leaf=min_leaf, lr=lr,
+                )
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                ax = mesh.axis_names[0]
+                # each device grows its own chains' trees (chains are
+                # independent; xbt/cum1h replicate)
+                update = jax.shard_map(
+                    update, mesh=mesh,
+                    in_specs=(P(), P(), P(ax), P(ax), P(ax)), out_specs=P(ax),
+                )
+
+            def draw_bags(keys):
+                # ALL of a cycle's bag draws in ONE batched threefry
+                # dispatch — the per-tree split+uniform chains were ~half
+                # of what remained outside the kernel.  Values are
+                # bit-identical to per-tree draws (threefry is a pure
+                # function of the key): vmap over the scan's tree keys of
+                # the shared_bins path's per-outer draw.
+                def per_tree(key_t):
+                    kf = jax.random.split(key_t, f_outer)
+                    u = jax.vmap(
+                        lambda k: jax.random.uniform(k, (n_folds, n))
+                    )(kf)                                     # (F, K, n)
+                    return ((u < bag_fraction).astype(x.dtype) * train_w
+                            ).reshape(f_outer * n_folds, n)
+
+                return jax.vmap(per_tree)(keys)               # (T, F*K, n)
+
+            def tree_step(fm, bag_t):
+                fm_new = update(xbt, cum1h, y_flat, fm, bag_t)
+                return fm_new, None
+
+        elif shared_bins:
             from .trees import assigned_predict_batched, grow_bestfirst_trees_shared
 
             b1h = jax.vmap(lambda q: flat_bin_onehot(q, nb))(xb)  # (F, n, p*nb)
@@ -347,7 +404,13 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
             fm, kj = carry
             kj, key_c = jax.random.split(kj)
             keys = jax.random.split(key_c, step_size)
-            fm, _ = jax.lax.scan(tree_step, fm, keys)
+            if global_bins:
+                fm_flat, _ = jax.lax.scan(
+                    tree_step, fm.reshape(f_outer * n_folds, n), draw_bags(keys)
+                )
+                fm = fm_flat.reshape(f_outer, n_folds, n)
+            else:
+                fm, _ = jax.lax.scan(tree_step, fm, keys)
             dev = jnp.sum(test_w * (y[:, None, :] - fm) ** 2, axis=2) / test_sum
             if with_fhist:
                 tdev = jnp.sum(train_w * (y[:, None, :] - fm) ** 2, axis=2) / train_sum
@@ -381,7 +444,7 @@ class MultiCurve(NamedTuple):
 def _cv_deviance_curve_multi(
     key, x, y, w_outer, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
     step_size, max_trees, tolerance, n_bins, mesh=None, selectors=None,
-    keep_fhist=False, shared_bins=False,
+    keep_fhist=False, shared_bins=False, global_bins=False,
 ):
     """All OUTER folds' gbm.step CV curves, batched.
 
@@ -433,7 +496,13 @@ def _cv_deviance_curve_multi(
         (selectors[:, None, :] == fold_ids[None, :, None]).astype(x.dtype)
         * w_outer[:, None, :]
     )
-    if shared_bins:
+    if global_bins:
+        # ONE candidate table from FULL-data quantiles for every chain:
+        # the layout the fused Pallas tree kernel rides (see
+        # fit_outer_batched's deviation note and ops/pallas_grow.py)
+        edges = make_bins(x, n_bins)                          # (p, nb-1)
+        xb = bin_data(x, edges)                               # (n, p)
+    elif shared_bins:
         # split candidates from each OUTER chain's training subset, shared
         # by its K inner chains (the shared_bins deviation: ~K x less
         # one-hot HBM traffic per split step; see grow_bestfirst_trees_shared)
@@ -460,6 +529,7 @@ def _cv_deviance_curve_multi(
         n_splits=n_splits, lr=lr, bag_fraction=bag_fraction,
         min_leaf=min_leaf, step_size=step_size, n_cycles=n_cyc,
         with_fhist=keep_fhist, shared_bins=shared_bins,
+        global_bins=global_bins, mesh=mesh,
     )
     fmat = jnp.broadcast_to(f0[:, :, None], (f_outer, n_folds, n)).astype(x.dtype)
     if mesh is not None:
@@ -467,12 +537,18 @@ def _cv_deviance_curve_multi(
         # cycle program propagates the sharding (each device advances its
         # share of the boosting chains, no collectives needed)
         shard = lambda a: jax.device_put(a, _chain_sharding(mesh, a.ndim))
-        fmat, xb, edges, train_w, test_w, test_sum, y = map(
-            shard, (fmat, xb, edges, train_w, test_w, test_sum, y)
+        fmat, train_w, test_w, test_sum, y = map(
+            shard, (fmat, train_w, test_w, test_sum, y)
         )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x = jax.device_put(x, NamedSharding(mesh, P()))  # replicate rows
+        if global_bins:
+            # the global candidate table replicates (every chain shares it)
+            xb = jax.device_put(xb, NamedSharding(mesh, P()))
+            edges = jax.device_put(edges, NamedSharding(mesh, P()))
+        else:
+            xb, edges = map(shard, (xb, edges))
     dev = np.full((max_cp, f_outer, n_folds), np.inf, np.float64)
     # fhist/tdev live on the host as per-dispatch float32 chunks (only up to
     # the last dispatched checkpoint — stops are usually far below max_cp)
@@ -507,6 +583,131 @@ def _cv_deviance_curve_multi(
     )
 
 
+def _final_fits_global(
+    keys, x, ycols, best_trees, *, budget, n_splits, lr_vec, bag_fraction,
+    min_leaf, n_bins, sample_w=None, mesh=None, with_deviance=False,
+    emit_trees=False,
+):
+    """All chains' gaussian final BRT refits on the fused Pallas grower.
+
+    The kernel-era replacement for the vmapped ``brt.fit`` refits (the
+    round-5 attribution: with the CV curve on the kernel, the refits were
+    ~85% of letter b's remaining wall).  One fused launch per tree advances
+    every chain — outer folds for fit_outer_batched, responses for
+    fit_multi — under GLOBAL full-data bins (same deviation note as
+    fit_outer_batched's ``global_bins``):
+
+    * per-chain learning rates (fit_multi's lr/2 restarts) apply OUTSIDE
+      the kernel — it grows at lr=1 and the driver takes
+      ``f += lr_c * act_c * (f_new - f)``, which also implements
+      brt.fit's n_trees_active bucketing exactly (inactive trees still
+      train on the frozen residuals, contribute nothing);
+    * bag draws are bit-identical to the vmapped brt.fit stream (the same
+      per-chain ``split(key, budget)`` key chains);
+    * ``emit_trees`` returns the stacked flat tree arrays (budget, C, .)
+      — feat/thr_bin/internal/left/right/value/var_gain — for forests
+      that must predict rasters and report importances (V73:493/519).
+
+    Returns a dict: f0 (C,), train_fit (C, n), tree_active (C, budget);
+    + trees' arrays when ``emit_trees``; + train/holdout deviance paths
+    (C, budget) when ``with_deviance``.
+    """
+    from ..ops.pallas_grow import gbm_tree_update
+    from .trees import flat_bin_cum_onehot
+
+    x = jnp.asarray(x)
+    n, p = x.shape
+    ycols = jnp.asarray(ycols, x.dtype)
+    c_real = ycols.shape[0]
+    w = (
+        jnp.ones((c_real, n), x.dtype)
+        if sample_w is None else jnp.asarray(sample_w, x.dtype)
+    )
+    best_trees = jnp.asarray(best_trees)
+    lr_vec = jnp.asarray(lr_vec)
+    keys = jnp.asarray(keys)
+    if mesh is not None:
+        # the shard_mapped chain axis must divide the mesh: tile the
+        # chains up (padded chains compute, their rows are sliced off)
+        n_dev = int(np.prod(mesh.devices.shape))
+        c_pad_to = -(-c_real // n_dev) * n_dev
+        if c_pad_to > c_real:
+            reps = -(-c_pad_to // c_real)
+            tile = lambda a: jnp.concatenate([a] * reps, axis=0)[:c_pad_to]
+            ycols, w, best_trees, lr_vec, keys = map(
+                tile, (ycols, w, best_trees, lr_vec, keys)
+            )
+    c_chains = ycols.shape[0]
+    edges = make_bins(x, n_bins)
+    xb = bin_data(x, edges)
+    cum1h = flat_bin_cum_onehot(xb, n_bins)
+    xbt = xb.T.astype(x.dtype)
+    lr_col = jnp.asarray(lr_vec, x.dtype)[:, None]
+    bt = jnp.asarray(best_trees)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    f0 = jnp.sum(w * ycols, axis=1) / wsum                 # gaussian f0_init
+    test_w = (w <= 0).astype(x.dtype)
+    test_sum = jnp.maximum(jnp.sum(test_w, axis=1), 1.0)
+
+    def update(xt, c1, yf, ff, bf):
+        return gbm_tree_update(
+            xt, c1, yf, ff, bf, n_splits=n_splits, nb=n_bins,
+            min_leaf=min_leaf, lr=1.0, emit_tree=emit_trees,
+        )
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        update = jax.shard_map(
+            update, mesh=mesh, in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+            out_specs=((P(ax),) * 8 if emit_trees else P(ax)),
+        )
+
+    # same key chains as vmap(brt.fit): split(chain key, budget)
+    keys_ct = jax.vmap(lambda k: jax.random.split(k, budget))(keys)
+    keys_tc = jnp.swapaxes(keys_ct, 0, 1)                  # (budget, C)
+    act = (jnp.arange(budget)[None, :] < bt[:, None]).astype(x.dtype)
+
+    @jax.jit
+    def run(ycols, w, f0, act_tc, keys_tc):
+        def step(f, inp):
+            keys_t, act_t = inp
+            bag = (
+                jax.vmap(lambda kk: jax.random.uniform(kk, (n,)))(keys_t)
+                < bag_fraction
+            ).astype(x.dtype) * w
+            out = update(xbt, cum1h, ycols, f, bag)
+            f_new = out[0] if emit_trees else out
+            f = f + lr_col * act_t[:, None] * (f_new - f)
+            ys_out = tuple(out[1:]) if emit_trees else ()
+            if with_deviance:
+                td = jnp.sum(w * (ycols - f) ** 2, axis=1) / wsum
+                hd = jnp.sum(test_w * (ycols - f) ** 2, axis=1) / test_sum
+                ys_out = ys_out + (td, hd)
+            return f, (ys_out if ys_out else None)
+
+        f_init = jnp.broadcast_to(f0[:, None], (c_chains, n)).astype(x.dtype)
+        return jax.lax.scan(step, f_init, (keys_tc, act_tc))
+
+    f_fin, outs = run(ycols, w, f0, act.T, keys_tc)
+    res = dict(
+        f0=f0[:c_real], train_fit=f_fin[:c_real], tree_active=act[:c_real],
+        edges=edges,
+    )
+    if emit_trees:
+        for name, o in zip(
+            ("feat", "thr_bin", "internal", "left", "right", "value",
+             "var_gain"), outs[:7],
+        ):
+            res[name] = o[:, :c_real]                    # (budget, C, .)
+        outs = outs[7:]
+    if with_deviance:
+        res["train_deviance"] = outs[0][:, :c_real]
+        res["holdout_deviance"] = outs[1][:, :c_real]
+    return res
+
+
 @highest_precision
 def fit_outer_batched(
     key,
@@ -526,20 +727,28 @@ def fit_outer_batched(
     outer_chunk: int = 20,
     mesh=None,
     shared_bins: bool = True,
+    global_bins: bool = True,
 ):
     """gbm.step for ALL outer CV folds at once (the run_cv fast path;
     gaussian only — the only family mltps's CV uses, V73:247).
 
-    ``shared_bins`` (default True): the K inner chains of each outer fold
-    share split candidates from the OUTER training subset's quantiles
-    instead of each inner fold's own 90% — ~K x less one-hot HBM traffic
-    per split step (the CV phase's measured bound, round-5 CV_LETTERS).
-    Documented deviation: the reference's per-fold gbm::gbm calls split on
-    exact raw values of their own subset; 64-bin quantile candidates from
-    90% vs 100% of an outer subset differ negligibly in split quality, and
-    either binning is already an approximation of exact gbm splits.
-    ``shared_bins=False`` restores per-inner-fold quantiles (rounds 1-4
-    behavior).
+    ``global_bins`` (default True): every chain's split candidates come
+    from ONE table of full-data quantiles, so all F x K boosting chains
+    grow their trees in a single fused Pallas kernel launch per step
+    (ops/pallas_grow.py) — the round-5 fix for the CV phase being
+    op-launch-latency-bound (SPLIT_STEP_ABLATION: 124 of 136 us per split
+    was ~25 tiny serialised XLA ops).  Deviation ladder: R's gbm splits on
+    exact raw values of each fold's own subset; our binning is already a
+    64-bin quantile approximation (LightGBM-style), and candidates from
+    100% vs 90% of the rows are near-identical quantiles — split QUALITY
+    is unaffected, near-tie selections can differ.  ``global_bins=False``
+    falls back to ``shared_bins``.
+
+    ``shared_bins``: the K inner chains of each outer fold share split
+    candidates from the OUTER training subset's quantiles instead of each
+    inner fold's own 90% — ~K x less one-hot HBM traffic per split step.
+    ``shared_bins=False`` too restores per-inner-fold quantiles (rounds
+    1-4 behavior).
 
     ``mesh``: device mesh — the outer-chain axis shards across it (chunks
     round up to the mesh size; chains are independent so results match the
@@ -582,7 +791,7 @@ def fit_outer_batched(
         n_folds=n_folds, n_splits=tree_complexity, lr=learning_rate,
         bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
         max_trees=max_trees, tolerance=tol, n_bins=n_bins, mesh=mesh,
-        shared_bins=shared_bins,
+        shared_bins=shared_bins, global_bins=global_bins,
     )
     n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     chunk = max(1, min(outer_chunk, f_outer))
@@ -610,6 +819,17 @@ def fit_outer_batched(
         best_trees[f] = best_trees_from_curve(cv_mean[:, f], stopped[f], step_size)
 
     budget = int(-(-best_trees.max() // step_size) * step_size)
+    if global_bins:
+        # kernel refits under the same global candidate table as the curve
+        # (_final_fits_global tiles the chain axis up to the mesh itself)
+        res = _final_fits_global(
+            jax.random.split(kfinal, f_outer), x, y,
+            jnp.asarray(best_trees), budget=budget,
+            n_splits=tree_complexity, lr_vec=np.full(f_outer, learning_rate),
+            bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
+            sample_w=outer_train_w, mesh=mesh,
+        )
+        return np.asarray(res["train_fit"]), best_trees
     # each outer fold's final refit bins on ITS training subset's quantiles
     edges_f = jax.vmap(lambda wf: make_bins_masked(x, wf, n_bins))(outer_train_w)
     xb_f = jax.vmap(lambda e: bin_data(x, e))(edges_f)
@@ -726,6 +946,7 @@ def fit_multi(
     statistics: bool = False,
     mesh=None,
     shared_bins: bool = True,
+    global_bins: bool = True,
 ) -> list:
     """gbm.step final fits for SEVERAL responses batched into one device
     program sequence (gaussian, unweighted rows — mltps's final-fit case,
@@ -805,7 +1026,7 @@ def fit_multi(
             bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
             max_trees=max_trees, tolerance=tol[idx], n_bins=n_bins,
             selectors=selectors[idx], keep_fhist=statistics, mesh=mesh,
-            shared_bins=shared_bins,
+            shared_bins=shared_bins, global_bins=global_bins,
         )
         cv_mean = np.asarray(jnp.mean(curve.dev, axis=2))     # (max_cp, f_pad)
         stopped_np = np.asarray(curve.stopped)
@@ -832,20 +1053,61 @@ def fit_multi(
         [(done[j]["best_cp"] + 1) * step_size for j in range(n_resp)], np.int64
     )
     budget = int(max(step_size, -(-best_trees.max() // step_size) * step_size))
-    # w == 1 for every response, so the final refits share ONE bin table
-    from .trees import make_bins
-
-    edges = make_bins(x, n_bins)
-    xb = bin_data(x, edges)
-    fit_one = lambda k, yf, nt, lr: brt.fit(
-        k, x, yf, n_trees=budget, n_splits=tree_complexity, lr=lr,
-        bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
-        n_trees_active=nt, edges=edges, xb=xb,
-    )
-    finals = jax.jit(jax.vmap(fit_one))(
-        jnp.stack(kfinals), ycols.T, jnp.asarray(best_trees),
-        jnp.asarray(lr_used, x.dtype),
-    )
+    if global_bins:
+        # every response's refit rides the fused Pallas grower under ONE
+        # global candidate table (the same deviation as the curve); the
+        # stacked flat tree arrays reassemble into the batched BRTState
+        # the downstream (raster predict, importance, statistics) expects
+        res = _final_fits_global(
+            jnp.stack(kfinals), x, ycols.T, best_trees, budget=budget,
+            n_splits=tree_complexity, lr_vec=lr_used,
+            bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
+            mesh=mesh, with_deviance=True, emit_trees=True,
+        )
+        edges_np = np.asarray(res["edges"])                  # (p, nb-1)
+        tr = lambda key: np.asarray(res[key]).transpose(1, 0, 2)
+        feat = tr("feat")                                    # (R, budget, T)
+        thr_bin = np.clip(tr("thr_bin"), 0, edges_np.shape[1] - 1)
+        trees = Tree(
+            feat=jnp.asarray(feat),
+            thr=jnp.asarray(
+                edges_np[feat, thr_bin], x.dtype
+            ),                             # raw-scale thresholds (go left
+            #                                iff x <= thr — _edges_lookup)
+            internal=jnp.asarray(tr("internal"), x.dtype),
+            left=jnp.asarray(tr("left")),
+            right=jnp.asarray(tr("right")),
+            value=jnp.asarray(tr("value"), x.dtype),
+            var_gain=jnp.asarray(
+                np.asarray(res["var_gain"]).transpose(1, 0, 2), x.dtype
+            ),
+        )
+        finals = brt.BRTState(
+            trees=trees,
+            edges=jnp.broadcast_to(
+                jnp.asarray(edges_np, x.dtype), (n_resp,) + edges_np.shape
+            ),
+            f0=res["f0"],
+            lr=jnp.asarray(lr_used, x.dtype),
+            n_splits=jnp.full((n_resp,), tree_complexity),
+            tree_active=jnp.asarray(res["tree_active"], x.dtype),
+            train_deviance=jnp.asarray(res["train_deviance"]).T,
+            holdout_deviance=jnp.asarray(res["holdout_deviance"]).T,
+            train_fit=res["train_fit"],
+        )
+    else:
+        # w == 1 for every response, so the final refits share ONE bin table
+        edges = make_bins(x, n_bins)
+        xb = bin_data(x, edges)
+        fit_one = lambda k, yf, nt, lr: brt.fit(
+            k, x, yf, n_trees=budget, n_splits=tree_complexity, lr=lr,
+            bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
+            n_trees_active=nt, edges=edges, xb=xb,
+        )
+        finals = jax.jit(jax.vmap(fit_one))(
+            jnp.stack(kfinals), ycols.T, jnp.asarray(best_trees),
+            jnp.asarray(lr_used, x.dtype),
+        )
 
     pad = jnp.full((max_cp,), jnp.inf, x.dtype)
     results = []

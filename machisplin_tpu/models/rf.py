@@ -24,7 +24,7 @@ from .base import as_weight
 from .trees import (
     Tree,
     bin_data,
-    flat_bin_onehot,
+    flat_bin_cum_onehot,
     forest_predict,
     grow_level_tree,
     make_bins,
@@ -63,7 +63,7 @@ def fit(
         mtry = max(p // 3, 1)
     edges = make_bins(x, n_bins)
     xb = bin_data(x, edges)
-    b1h = flat_bin_onehot(xb, n_bins)   # shared by all trees
+    c1h = flat_bin_cum_onehot(xb, n_bins)   # shared by all trees
     n_active = jnp.maximum(jnp.sum(w > 0), 1.0)
 
     def one_tree(key):
@@ -78,7 +78,7 @@ def fit(
         counts = counts * (n_active / n)
         tree = grow_level_tree(
             kgrow, xb, edges, y, counts,
-            max_depth=max_depth, min_leaf=min_leaf, mtry=mtry, bin1h=b1h,
+            max_depth=max_depth, min_leaf=min_leaf, mtry=mtry, bin_cum1h=c1h,
         )
         return tree, counts
 

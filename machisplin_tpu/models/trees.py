@@ -34,6 +34,8 @@ __all__ = [
     "make_bins_masked",
     "bin_data",
     "flat_bin_onehot",
+    "flat_bin_cum_onehot",
+    "grow_bestfirst_trees_cumshared",
     "grow_level_tree",
     "grow_bestfirst_tree",
     "tree_assign",
@@ -97,6 +99,20 @@ def flat_bin_onehot(xb, nb: int):
     the tree/split loops; rebuilding it per tree was pure waste."""
     n, p = xb.shape
     oh = xb[:, :, None] == jnp.arange(nb, dtype=xb.dtype)[None, None, :]
+    return oh.astype(jnp.bfloat16).reshape(n, p * nb)
+
+
+def flat_bin_cum_onehot(xb, nb: int):
+    """(n, p * nb) bf16 CUMULATIVE one-hot: 1 iff ``xb[i, f] <= b``.
+
+    Contracting weights against THIS table yields left-cumulative split
+    statistics directly — ``(w @ cum1h)[f*nb + b] = sum of w over rows with
+    bin_f <= b`` — which removes the per-node histogram cumsum from the
+    split search entirely (the round-5 SPLIT_STEP_ABLATION pinned 91% of
+    the split-step wall on that cumsum+gain+argmax chain).  0/1 values are
+    exact in bf16, like ``flat_bin_onehot``."""
+    n, p = xb.shape
+    oh = xb[:, :, None] <= jnp.arange(nb, dtype=xb.dtype)[None, None, :]
     return oh.astype(jnp.bfloat16).reshape(n, p * nb)
 
 
@@ -167,6 +183,37 @@ def _best_splits(hw, hwy, min_leaf, feat_mask=None):
     return best_gain, (best // nbm1).astype(jnp.int32), (best % nbm1).astype(jnp.int32)
 
 
+def _best_splits_cum(clw, clwy, tw, twy, min_leaf, feat_mask=None):
+    """Best (feature, bin) per node from CUMULATIVE histogram stats.
+
+    clw/clwy: (R, p, nb) left-cumulative sums (``flat_bin_cum_onehot``
+    contractions) — ``clw[r, f, b]`` = sum of w over rows with bin_f <= b;
+    tw/twy: (R, 1, 1) node totals (exact row-sums, no histogram round-off —
+    or the cumulative table's own last-bin column, which IS the total).
+    Same gain formula / tie order / return convention as ``_best_splits``
+    but with NO cumsum — the left stats arrive cumulative and the right
+    side is ``total - left``.  Candidate b = nb-1 (nothing on the right)
+    is masked instead of sliced so the flat argmax stays one op."""
+    eps = 1e-12
+    lw, lwy = clw, clwy
+    rw, rwy = tw - clw, twy - clwy
+    gain = (
+        lwy * lwy / jnp.maximum(lw, eps)
+        + rwy * rwy / jnp.maximum(rw, eps)
+        - twy * twy / jnp.maximum(tw, eps)
+    )
+    n_nodes, p, nb = gain.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_nodes, p, nb), 2)
+    ok = (lw >= min_leaf) & (rw >= min_leaf) & (pos < nb - 1)
+    if feat_mask is not None:
+        ok = ok & (feat_mask[:, :, None] > 0)
+    gain = jnp.where(ok, gain, -jnp.inf)
+    flat = gain.reshape(n_nodes, p * nb)
+    best = jnp.argmax(flat, axis=1)
+    best_gain = jnp.max(flat, axis=1)
+    return best_gain, (best // nb).astype(jnp.int32), (best % nb).astype(jnp.int32)
+
+
 def _edges_lookup(edges, feat, thr_bin):
     """edges[feat, thr_bin] without a gather (TPU gathers serialise): the
     one-hot contraction copies values exactly at HIGHEST precision."""
@@ -188,21 +235,27 @@ def _leaf_values(cur, n_total, w, wy):
 
 def grow_level_tree(
     key, xb, edges, y, w, *, max_depth: int = 8, min_leaf: float = 5.0,
-    mtry: int | None = None, bin1h=None,
+    mtry: int | None = None, bin_cum1h=None,
 ) -> Tree:
     """CART regression tree grown level-wise to ``max_depth`` (heap layout).
 
     randomForest semantics: per-node random ``mtry``-feature subset, split by
     SSE decrease, stop at ``min_leaf`` (nodesize).  ``w`` carries bootstrap
-    counts (0 for out-of-bag / masked rows).  Pass ``bin1h``
-    (``flat_bin_onehot(xb, nb)``) to share one one-hot across many trees.
+    counts (0 for out-of-bag / masked rows).  Pass ``bin_cum1h``
+    (``flat_bin_cum_onehot(xb, nb)``) to share one table across many trees.
+
+    Split statistics arrive CUMULATIVE off the MXU (``_best_splits_cum``) —
+    round 5 removed the per-level stacked cumsum over the (trees, nodes, p,
+    nb) histograms, which at depth 8 ran over 16M-element tensors per
+    50-tree chunk.  Node totals are the cumulative table's own last-bin
+    column.  Leaf VALUES stay on the exact one-hot path (``_leaf_values``).
     """
     n, p = xb.shape
     nb = int(edges.shape[1]) + 1
     n_total = 2 ** (max_depth + 1) - 1
     dtype = y.dtype
-    if bin1h is None:
-        bin1h = flat_bin_onehot(xb, nb)
+    if bin_cum1h is None:
+        bin_cum1h = flat_bin_cum_onehot(xb, nb)
     wy = w * y
 
     feat = jnp.zeros((n_total,), jnp.int32)
@@ -215,7 +268,7 @@ def grow_level_tree(
         offset = 2**level - 1
         n_nodes = 2**level
         local = cur - offset                       # valid iff in [0, n_nodes)
-        hw, hwy = _node_histograms(local, n_nodes, bin1h, nb, w, wy)
+        chw, chwy = _node_histograms(local, n_nodes, bin_cum1h, nb, w, wy)
         if mtry is not None and mtry < p:
             key, sub = jax.random.split(key)
             scores = jax.random.uniform(sub, (n_nodes, p))
@@ -223,7 +276,9 @@ def grow_level_tree(
             feat_mask = (scores >= kth[:, None]).astype(dtype)
         else:
             feat_mask = None
-        gain, bfeat, bbin = _best_splits(hw, hwy, min_leaf, feat_mask)
+        gain, bfeat, bbin = _best_splits_cum(
+            chw, chwy, chw[:, :1, -1:], chwy[:, :1, -1:], min_leaf, feat_mask
+        )
         do_split = gain > 1e-9
         idx = offset + jnp.arange(n_nodes)
         feat = feat.at[idx].set(jnp.where(do_split, bfeat, 0))
@@ -470,6 +525,130 @@ def grow_bestfirst_trees_shared(
     swy = jnp.einsum("knt,kn->kt", node1h, wys,
                      precision=jax.lax.Precision.HIGHEST)
     value = swy / jnp.maximum(sw, 1e-12)
+    return value, cur
+
+
+def grow_bestfirst_trees_cumshared(
+    xb, ys, ws, *, n_splits: int, min_leaf: float, bin_cum1h,
+    return_tree: bool = False,
+):
+    """K best-first trees in lockstep via CUMULATIVE one-hot contractions.
+
+    The op-count-lean reformulation of ``grow_bestfirst_trees_shared`` (the
+    round-5 SPLIT_STEP_ABLATION attributed 91% of that step's 136 us to the
+    cumsum+gain+argmax chain, on tensors far too small to hide this
+    runtime's ~5 us per-op dispatch floor):
+
+    * split stats come CUMULATIVE straight off the MXU — one contraction
+      against ``flat_bin_cum_onehot`` replaces histogram + stacked cumsum;
+    * node totals are plain row-sums — EXACT f32, so the leaf values this
+      produces are creation-time child totals (swy/sw), bit-comparable to
+      the exact-path ``_leaf_values`` up to f32 summation order (a leaf's
+      member rows never change after its creation);
+    * min_leaf gating and split GAINS ride the same bf16 hi+lo contraction
+      accuracy class as ``grow_bestfirst_trees_shared`` (~1e-5 relative:
+      near-tie selections can flip between the two formulations, nothing
+      else — the sanctioned gbm histogram exception, see CLAUDE.md).
+
+    Also the jnp reference twin of the fused Pallas kernel
+    (ops/pallas_grow.py), which unrolls exactly this recurrence in one
+    kernel launch.  Selection semantics per chain are otherwise identical
+    to ``grow_bestfirst_tree`` (gbm's interaction.depth best-first budget,
+    V73:247/493).
+    """
+    n, p = xb.shape
+    k_chains = ws.shape[0]
+    dtype = ys.dtype
+    n_total = 2 * n_splits + 1
+    nb = bin_cum1h.shape[1] // p
+    neg = jnp.asarray(-jnp.inf, dtype)
+    iota_nodes = jnp.arange(n_total)
+    p_iota = jnp.arange(p)
+    wys = ws * ys
+
+    croot = _hist_matmul(jnp.concatenate([ws, wys], axis=0), bin_cum1h)
+    tw = jnp.sum(ws, axis=1)                                  # (K,) exact
+    twy = jnp.sum(wys, axis=1)
+    g0, f0, b0 = _best_splits_cum(
+        croot[:k_chains].reshape(k_chains, p, nb),
+        croot[k_chains:].reshape(k_chains, p, nb),
+        tw[:, None, None], twy[:, None, None], min_leaf,
+    )
+    node_gain = jnp.full((k_chains, n_total), neg, dtype).at[:, 0].set(g0)
+    node_feat = jnp.zeros((k_chains, n_total), jnp.int32).at[:, 0].set(f0)
+    node_bin = jnp.zeros((k_chains, n_total), jnp.int32).at[:, 0].set(b0)
+    node_sw = jnp.zeros((k_chains, n_total), dtype).at[:, 0].set(tw)
+    node_swy = jnp.zeros((k_chains, n_total), dtype).at[:, 0].set(twy)
+    cur = jnp.zeros((k_chains, n), jnp.int32)
+    xb_f = xb.astype(dtype)
+    if return_tree:
+        t_feat = jnp.zeros((k_chains, n_total), jnp.int32)
+        t_thr = jnp.zeros((k_chains, n_total), jnp.int32)
+        t_int = jnp.zeros((k_chains, n_total), dtype)
+        t_left = jnp.zeros((k_chains, n_total), jnp.int32)
+        t_right = jnp.zeros((k_chains, n_total), jnp.int32)
+        t_vg = jnp.zeros((k_chains, p), dtype)
+
+    for k in range(n_splits):
+        q = jnp.argmax(node_gain, axis=1)                    # (K,)
+        gq = jnp.max(node_gain, axis=1)
+        ok = gq > 1e-9
+        qsel = iota_nodes[None, :] == q[:, None]             # (K, n_total)
+        bfq = jnp.sum(jnp.where(qsel, node_feat, 0), axis=1, dtype=jnp.int32)
+        bbq = jnp.sum(jnp.where(qsel, node_bin, 0), axis=1, dtype=jnp.int32)
+        lid, rid = 2 * k + 1, 2 * k + 2                      # static child slots
+        fsel = (bfq[:, None] == p_iota[None, :]).astype(dtype)       # (K, p)
+        sample_bin = jnp.matmul(
+            fsel, xb_f.T, precision=jax.lax.Precision.HIGHEST
+        )                                                             # (K, n)
+        in_parent = ok[:, None] & (cur == q[:, None])
+        go_left = in_parent & (sample_bin <= bbq[:, None].astype(dtype))
+        lm = go_left.astype(dtype)
+        pm = in_parent.astype(dtype)
+        # left + parent CUMULATIVE stats for all chains in one contraction;
+        # right children by subtraction; totals by exact row-sums
+        h = _hist_matmul(
+            jnp.concatenate([ws * lm, wys * lm, ws * pm, wys * pm], axis=0),
+            bin_cum1h,
+        )                                                     # (4K, p*nb)
+        clw, clwy = h[:k_chains], h[k_chains : 2 * k_chains]
+        cpw, cpwy = h[2 * k_chains : 3 * k_chains], h[3 * k_chains :]
+        tl_w = jnp.sum(ws * lm, axis=1)
+        tp_w = jnp.sum(ws * pm, axis=1)
+        tl_wy = jnp.sum(wys * lm, axis=1)
+        tp_wy = jnp.sum(wys * pm, axis=1)
+        cw = jnp.concatenate([clw, cpw - clw], axis=0).reshape(2 * k_chains, p, nb)
+        cwy = jnp.concatenate([clwy, cpwy - clwy], axis=0).reshape(2 * k_chains, p, nb)
+        tws = jnp.concatenate([tl_w, tp_w - tl_w])
+        twys = jnp.concatenate([tl_wy, tp_wy - tl_wy])
+        cg, cf, cb = _best_splits_cum(
+            cw, cwy, tws[:, None, None], twys[:, None, None], min_leaf
+        )
+        node_gain = jnp.where(qsel, neg, node_gain)
+        node_gain = node_gain.at[:, lid].set(jnp.where(ok, cg[:k_chains], neg))
+        node_gain = node_gain.at[:, rid].set(jnp.where(ok, cg[k_chains:], neg))
+        node_feat = node_feat.at[:, lid].set(cf[:k_chains]).at[:, rid].set(cf[k_chains:])
+        node_bin = node_bin.at[:, lid].set(cb[:k_chains]).at[:, rid].set(cb[k_chains:])
+        zero = jnp.zeros_like(tl_w)
+        node_sw = node_sw.at[:, lid].set(jnp.where(ok, tl_w, zero))
+        node_sw = node_sw.at[:, rid].set(jnp.where(ok, tp_w - tl_w, zero))
+        node_swy = node_swy.at[:, lid].set(jnp.where(ok, tl_wy, zero))
+        node_swy = node_swy.at[:, rid].set(jnp.where(ok, tp_wy - tl_wy, zero))
+        cur = jnp.where(in_parent, jnp.where(go_left, lid, rid), cur)
+        if return_tree:
+            upd = qsel & ok[:, None]
+            t_feat = jnp.where(upd, bfq[:, None], t_feat)
+            t_thr = jnp.where(upd, bbq[:, None], t_thr)
+            t_int = jnp.where(upd, 1.0, t_int)
+            t_left = jnp.where(upd, lid, t_left)
+            t_right = jnp.where(upd, rid, t_right)
+            t_vg = t_vg + jnp.where(
+                ok[:, None] & (p_iota[None, :] == bfq[:, None]), gq[:, None], 0.0
+            )
+
+    value = node_swy / jnp.maximum(node_sw, 1e-12)
+    if return_tree:
+        return value, cur, (t_feat, t_thr, t_int, t_left, t_right, t_vg)
     return value, cur
 
 

@@ -661,7 +661,8 @@ def mltps(
                     **config.final_brt, mesh=config.mesh,
                 )
             p_feat = np.asarray(x).shape[1]
-            imps_b = [gbm_step.importance(r, covar_names) for r in results_b]
+            with timer.phase("importance_b"):
+                imps_b = [gbm_step.importance(r, covar_names) for r in results_b]
             # merge every response's forest into ONE leaf table: the kernel's
             # membership algebra runs once per grid pass with a (T_total, R)
             # weight matrix zeroing foreign trees — one raster stream for ALL
@@ -682,7 +683,8 @@ def mltps(
                     for nt, r in zip(nts, results_b)
                 ],
             )
-            tabs = _forest_tables(merged_trees, p_feat, config.mesh)
+            with timer.phase("forest_tables_b"):
+                tabs = _forest_tables(merged_trees, p_feat, config.mesh)
             if tabs is not None:
                 from ..ops.pallas_forest import forest_predict_bins
 
@@ -763,6 +765,8 @@ def mltps(
         log.info("TPS tiled across %d tile(s)", n_tiles)
 
     results = []
+    finalize_cm = timer.phase("finalize")
+    finalize_cm.__enter__()
     for i, (name, y_np) in enumerate(responses.items()):
         wres = wres_all[i]
         mods_run, kept = kept_all[i]
@@ -815,5 +819,6 @@ def mltps(
                 weights=wres,
             )
         )
+    finalize_cm.__exit__(None, None, None)
     log.info("timing:\n%s", timer.report())
     return results
