@@ -160,9 +160,13 @@ def run_cv(
         preds["v"] = chunked(fit_v, keys, flat_y, flat_w)
     if "r" in algorithms:
         keys_r = [jax.random.fold_in(kr, i) for i in range(n_resp * k)]
-        rf_one = lambda kk, yy, w: rf.predict(
-            rf.fit(kk, x, yy, sample_weight=w, **config.rf), x
-        )
+        # predictions at x come from the growers' own node assignments
+        # (RFState.train_pred) — round 5 removed the per-tree gather walk
+        # rf.predict ran here (it serialised: letter r was 9.5 s of which
+        # the 20 forest FITS were only ~1 s, RF_FIT_BENCH.json)
+        rf_one = lambda kk, yy, w: rf.fit(
+            kk, x, yy, sample_weight=w, **config.rf
+        ).train_pred
         # fold models run in vmapped groups: on a mesh each device trains
         # ONE forest at a time (group = device count, peak memory matches
         # the serial loop).  Single-device groups stay at width 1: a

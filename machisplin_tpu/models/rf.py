@@ -39,6 +39,9 @@ class RFState(NamedTuple):
     edges: jax.Array      # (p, n_bins - 1)
     max_depth: int
     oob_count: jax.Array  # (ntree, n) bootstrap counts (0 => OOB)
+    train_pred: jax.Array  # (n,) all-tree mean prediction at the TRAINING
+    #                        rows, from the growers' own node assignments —
+    #                        gather-free (run_cv's predict-at-x fast path)
 
 
 @highest_precision
@@ -66,6 +69,8 @@ def fit(
     c1h = flat_bin_cum_onehot(xb, n_bins)   # shared by all trees
     n_active = jnp.maximum(jnp.sum(w > 0), 1.0)
 
+    n_total = 2 ** (max_depth + 1) - 1
+
     def one_tree(key):
         kboot, kgrow = jax.random.split(key)
         # bootstrap: n draws with replacement from the active rows
@@ -76,19 +81,26 @@ def fit(
         )
         # keep expected sample count equal to the active-row count
         counts = counts * (n_active / n)
-        tree = grow_level_tree(
+        tree, cur = grow_level_tree(
             kgrow, xb, edges, y, counts,
             max_depth=max_depth, min_leaf=min_leaf, mtry=mtry, bin_cum1h=c1h,
+            return_assign=True,
         )
-        return tree, counts
+        from .trees import assigned_predict
+
+        return tree, counts, assigned_predict(tree.value, cur, n_total)
 
     keys = jax.random.split(key, ntree)
     chunks = max(ntree // tree_chunk, 1)
     keys = keys.reshape(chunks, -1, 2)
-    trees, counts = jax.lax.map(lambda ks: jax.vmap(one_tree)(ks), keys)
+    trees, counts, preds = jax.lax.map(lambda ks: jax.vmap(one_tree)(ks), keys)
     trees = jax.tree.map(lambda a: a.reshape((ntree,) + a.shape[2:]), trees)
     counts = counts.reshape(ntree, n)
-    return RFState(trees=trees, edges=edges, max_depth=max_depth, oob_count=counts)
+    train_pred = preds.reshape(ntree, n).mean(axis=0)
+    return RFState(
+        trees=trees, edges=edges, max_depth=max_depth, oob_count=counts,
+        train_pred=train_pred,
+    )
 
 
 def predict(state: RFState, x, native_threshold: int = 65536, tables=None) -> jax.Array:

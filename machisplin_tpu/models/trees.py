@@ -235,8 +235,8 @@ def _leaf_values(cur, n_total, w, wy):
 
 def grow_level_tree(
     key, xb, edges, y, w, *, max_depth: int = 8, min_leaf: float = 5.0,
-    mtry: int | None = None, bin_cum1h=None,
-) -> Tree:
+    mtry: int | None = None, bin_cum1h=None, return_assign: bool = False,
+):
     """CART regression tree grown level-wise to ``max_depth`` (heap layout).
 
     randomForest semantics: per-node random ``mtry``-feature subset, split by
@@ -316,10 +316,14 @@ def grow_level_tree(
     value = _leaf_values(cur, n_total, w, wy)
     heap = jnp.arange(n_total, dtype=jnp.int32)
     thr = _edges_lookup(edges, feat, thr_bin)
-    return Tree(
+    tree = Tree(
         feat=feat, thr=thr, internal=internal,
         left=2 * heap + 1, right=2 * heap + 2, value=value, var_gain=var_gain,
     )
+    # every row's terminal node, tracked for free during growth — RF's CV
+    # predictions ride this + assigned_predict instead of the serialising
+    # per-tree gather walk (the round-5 letter-r attribution)
+    return (tree, cur) if return_assign else tree
 
 
 def grow_bestfirst_tree(

@@ -176,14 +176,16 @@ def _prepare_inputs(int_values, covar_ras: Raster):
     resp_names = names[2:]
 
     rast_stack = stack([covar_ras, lonlat_rasters(covar_ras.grid, covar_ras.data.dtype)])
-    # NOTE: extraction stays EAGER deliberately.  jit(extract) (one dispatch
-    # instead of ~8 tunnel round trips, ~7 s of a slow-pool warm wall) was
-    # tried; the next full-grid run stalled >60 min.  The stall reproduced
-    # after reverting too (pool-side degradation), so the jit wasn't proven
-    # at fault — but the eager path has three rounds of track record and
-    # fused gather programs are a known worker-crash risk (CLAUDE.md), so
-    # the safe form stays until a calm pool can A/B it.
-    vals = np.asarray(extract(rast_stack, cols[:, 0], cols[:, 1]))  # (n, C+2)
+    # extraction runs under ONE jit: the round-4 eager caution (a >60 min
+    # stall once coincided with a jit attempt, but reproduced after the
+    # revert — pool-side) was finally A/B'd on a calm round-5 pool:
+    # jit 25.7 ms vs eager 38.6 ms warm, and one dispatch instead of ~8
+    # tunnel round trips cold (artifacts/round5, input_prep A/B).
+    vals = np.asarray(
+        jax.jit(lambda lo, la: extract(rast_stack, lo, la))(
+            cols[:, 0], cols[:, 1]
+        )
+    )                                                        # (n, C+2)
     full = np.concatenate([cols, vals], axis=1)
     keep = np.all(np.isfinite(full), axis=1)
     if keep.mean() < 0.75:

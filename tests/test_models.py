@@ -241,6 +241,12 @@ def test_rf_fits_and_importance(rng):
     x, y = make_data(rng)
     state = rf.fit(jax.random.PRNGKey(0), x, y, ntree=60, tree_chunk=20)
     assert r2(y, rf.predict(state, x)) > 0.88
+    # assignment-tracked training predictions == routing the trees at x
+    # (bin-space and raw-threshold routing are the same partition)
+    np.testing.assert_allclose(
+        np.asarray(state.train_pred), np.asarray(rf.predict(state, x)),
+        atol=1e-5, rtol=0,
+    )
     imp = rf.importance(state, x, y, NAMES)
     assert set(imp[NAMES[0]].keys()) == {"%IncMSE", "IncNodePurity"}
     # informative variables rank above the near-noise interaction terms
