@@ -127,7 +127,9 @@ def config4(jax, jnp):
     from machisplin_tpu.ops.tps import tps_predict_grid
 
     rng = np.random.default_rng(0)
-    stations, cells, m = 50000, 1e8, 2048
+    # the LITERAL north-star shape (BASELINE.json north_star): 100k knots
+    # over 1e8 cells (round 4 measured 50k here; VERDICT r4 next #2a)
+    stations, cells, m = 100000, 1e8, 2048
     side = int(math.sqrt(cells))
     grid = GridSpec(nrows=side, ncols=side, xmin=0.0, ymax=1.0, dx=1 / side, dy=1 / side)
     coords = rng.uniform(0, 1, (stations, 2)).astype(np.float32)
@@ -211,14 +213,9 @@ def config4_pipeline_full(jax, jnp):
     """Config 4's tiled pipeline at the REFERENCE hyperparameters (round-3
     VERDICT #4): 10 folds, CV BRT tc=25/lr=.01, RF 500 trees, NN
     maxit=10000, final BRT tc=5/lr=.001 — exactly MLTPSConfig()'s defaults,
-    which mirror every V73 call site.  Tiles are independent and the four
-    station counts are near-equal (984-1047), so ONE tile is run at full
-    config and the 4-tile wall extrapolates as
-
-        end_to_end ~= tiles_create + 4 x tile1_wall + tiles_merge
-
-    with tiles_create/tiles_merge taken from this run (raster volume is the
-    full 1e8 cells either way)."""
+    which mirror every V73 call site.  Round 5 runs ALL FOUR tiles and the
+    real 4-tile merge (VERDICT r4 next #2c replaced the 1-tile
+    extrapolation)."""
     import machisplin_tpu as mt
     from machisplin_tpu.pipeline.tiles import tiles_create, tiles_merge
 
@@ -229,21 +226,24 @@ def config4_pipeline_full(jax, jnp):
     tiles = tiles_create(covars, dat, out_ncol=2, out_nrow=2, feather_d=50)
     t_tiles = time.perf_counter() - t0
 
-    rt, dt_ = tiles.rast[0], tiles.dat[0]
-    t1 = time.perf_counter()
-    out = mt.mltps(dt_, rt, tps=True, config=cfg, key=jax.random.PRNGKey(100))
-    t_tile1 = time.perf_counter() - t1
+    tile_walls, finals, summaries = [], [], []
+    for k, (rt, dt_) in enumerate(zip(tiles.rast, tiles.dat)):
+        t1 = time.perf_counter()
+        out = mt.mltps(dt_, rt, tps=True, config=cfg,
+                       key=jax.random.PRNGKey(100 + k))
+        tile_walls.append(time.perf_counter() - t1)
+        finals.append(mt.Raster(out[0].final.data, rt.grid))
+        summaries.append({
+            "stations": int(len(dt_)),
+            "mltps_s": round(tile_walls[-1], 1),
+            "r2_ensemble": round(float(out[0].summary["r2 ensemble:"]), 4),
+            "r2_final": round(float(out[0].summary.get("r2 final:", np.nan)), 4),
+            "kept": out[0].summary["best model(s):"],
+        })
+        del out
 
-    # merge cost measured with the real tile-1 surface replicated into the
-    # other slots (same raster volume and geometry as the true merge)
-    finals = [out[0].final] + [
-        mt.Raster(out[0].final.data, t.grid) for t in tiles.rast[1:]
-    ]
     t0 = time.perf_counter()
-    merged = tiles_merge(
-        [mt.Raster(f.data, t.grid) for f, t in zip(finals, tiles.rast)],
-        g, in_ncol=2, in_nrow=2,
-    )
+    merged = tiles_merge(finals, g, in_ncol=2, in_nrow=2)
     checksum = _force(merged.data)
     t_merge = time.perf_counter() - t0
     return {
@@ -252,17 +252,84 @@ def config4_pipeline_full(jax, jnp):
                  "REFERENCE hyperparams (10 folds, CV BRT tc=25/lr=.01, "
                  "RF 500, NN maxit=10000, final BRT tc=5/lr=.001)",
         "tiles_create_s": round(t_tiles, 1),
-        "tile1_stations": int(len(dt_)),
-        "tile1_mltps_s": round(t_tile1, 1),
-        "tile1_r2_ensemble": round(float(out[0].summary["r2 ensemble:"]), 4),
-        "tile1_r2_final": round(float(out[0].summary.get("r2 final:", np.nan)), 4),
-        "tile1_kept": out[0].summary["best model(s):"],
+        "tiles": summaries,
         "tiles_merge_s": round(t_merge, 1),
-        "extrapolated_end_to_end_s": round(t_tiles + 4 * t_tile1 + t_merge, 1),
-        "extrapolation": "tiles_create + 4 x tile1_mltps + tiles_merge "
-                         "(station counts 984-1047 across tiles)",
+        "measured_end_to_end_s": round(t_tiles + sum(tile_walls) + t_merge, 1),
         "checksum": checksum,
     }
+
+
+def config3_pipeline(jax, jnp):
+    """BASELINE config 3 through the FULL pipeline (VERDICT r4 next #4):
+    10k stations x 19 responses, all six algorithms at reference
+    hyperparameters, through ``mltps`` itself — the shape the letter-major
+    batching, fit_multi, merged-forest raster pass and one-factorisation
+    TPS were built for.  The grid is kept at 16 Mcells so the run probes
+    response-axis scaling (the raster volume is config 4's job)."""
+    import machisplin_tpu as mt
+    from machisplin_tpu.grid import GridSpec, Raster, extract
+    from machisplin_tpu.utils.timing import PhaseTimer
+
+    rng = np.random.default_rng(3)
+    side, n_stations, n_resp = 4000, 10000, 19
+    g = GridSpec(nrows=side, ncols=side, xmin=0.0, ymax=1.0,
+                 dx=1.0 / side, dy=1.0 / side)
+    xs = np.linspace(0, 1, side, dtype=np.float32)
+    world = (
+        1000.0
+        + 2500.0 * np.exp(-(((xs[None, :] - 0.4) ** 2) + (xs[:, None] - 0.6) ** 2) / 0.05)
+        + 300.0 * np.sin(9 * xs[None, :]) * np.cos(7 * xs[:, None])
+    ).astype(np.float32)
+    covars = Raster.host(world[None], g, ("alt",))
+
+    lon = rng.uniform(0.001, 0.999, n_stations)
+    lat = rng.uniform(0.001, 0.999, n_stations)
+    alt = np.asarray(extract(covars, lon, lat))[:, 0]
+    cols = {"long": lon, "lat": lat}
+    for i in range(n_resp):
+        # bio-like responses: distinct smooth fields + altitude lapse + noise
+        cols[f"bio_{i + 1}"] = (
+            8.0 * np.sin((3 + i % 5) * lon) * np.cos((2 + i % 7) * lat)
+            - 0.004 * alt
+            + 0.3 * rng.standard_normal(n_stations)
+        ).astype(np.float32)
+    dat = np.rec.fromarrays([cols[k] for k in cols], names=",".join(cols))
+
+    mem_before = _hbm_in_use(jax)
+    timer = PhaseTimer()
+    t0 = time.perf_counter()
+    out = mt.mltps(dat, covars, tps=True, config=mt.MLTPSConfig(),
+                   key=jax.random.PRNGKey(55), timer=timer)
+    wall = time.perf_counter() - t0
+    peak = _hbm_peak(jax)
+    r2s = [round(float(o.summary.get("r2 final:", np.nan)), 4) for o in out]
+    kept = [o.summary["best model(s):"] for o in out]
+    phases = {k: round(v, 2) for k, v in timer.phases.items()}
+    return {
+        "config": "3_pipeline",
+        "shape": f"{n_stations} stations x {n_resp} responses, "
+                 f"{g.ncell/1e6:.0f} Mcells, six algorithms, reference hyperparams",
+        "wall_s": round(wall, 1),
+        "hbm_before_bytes": mem_before,
+        "hbm_peak_bytes": peak,
+        "r2_final": r2s,
+        "kept": kept,
+        "phases": phases,
+    }
+
+
+def _hbm_in_use(jax):
+    try:
+        return int(jax.local_devices()[0].memory_stats()["bytes_in_use"])
+    except Exception:
+        return None
+
+
+def _hbm_peak(jax):
+    try:
+        return int(jax.local_devices()[0].memory_stats()["peak_bytes_in_use"])
+    except Exception:
+        return None
 
 
 def config4_pipeline(jax, jnp):
@@ -362,17 +429,31 @@ def forest_predict_1e8(jax, jnp):
     xq = jnp.asarray(rng.standard_normal((panel, p)).astype(np.float32))
     fn = jax.jit(lambda q: forest_predict_bins(state.trees, q, w, tables=tabs))
     _force(fn(xq))                       # compile + settle
-    t0 = time.perf_counter()
-    total, checksum = 0, 0.0
-    while total < cells:
-        checksum += _force(fn(xq))       # fresh dispatch per panel (streaming)
-        total += panel
-    dt = time.perf_counter() - t0
+    # stream panels ASYNC with a device-side checksum accumulator and ONE
+    # readback at the end: the round-4 capture forced a scalar readback
+    # (~0.1-0.2 s tunnel latency) after EVERY panel, which is not how
+    # predict_over_stack streams (results stay on device) — that sync
+    # accounted for most of the 32.7-vs-40.7 production/sweep gap.
+    # Best-of-3 full-surface passes, all recorded (tunnel rates fluctuate
+    # ~1.5x between sessions; CLAUDE.md timing notes).
+    passes = []
+    checksum = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = 0
+        acc = jnp.zeros((), jnp.float32)
+        while total < cells:
+            acc = acc + jnp.nansum(fn(xq))  # fresh dispatch per panel
+            total += panel
+        checksum = float(acc)            # single sync per pass
+        passes.append(time.perf_counter() - t0)
+    dt = min(passes)
     return {
         "config": "forest_predict_1e8",
         "shape": f"{n_trees}-tree BRT x {total/1e6:.0f} Mcells, {p} features",
         "table_walk_s": round(t_walk, 2),
         "predict_s": round(dt, 2),
+        "predict_passes_s": [round(t, 2) for t in passes],
         "mcells_per_s": round(total / dt / 1e6, 1),
         "checksum": checksum,
     }
@@ -405,7 +486,10 @@ def config5(jax, jnp):
     t0 = time.perf_counter()
     model, lam = solve()
     t_solve = time.perf_counter() - t0
-    # time a representative band, extrapolate the full-surface wall
+    # warm-up band (compile), then stream the FULL 1 Gcell surface and
+    # MEASURE the wall (VERDICT r4 next #2b replaced the extrapolation):
+    # async dispatch per band with a device-side checksum, one final sync
+    # — the same streaming discipline as predict_over_stack
     band_rows = 2048
     sub = grid.subgrid(0, band_rows, 0, grid.ncols)
     _force(tps_predict_grid(model, sub))  # compile
@@ -413,13 +497,29 @@ def config5(jax, jnp):
     checksum = _force(tps_predict_grid(model, sub))
     dt_band = time.perf_counter() - t0
     mcells = sub.ncell / dt_band / 1e6
+    # pre-compile the odd-sized REMAINDER band so the timed stream below
+    # contains zero compiles
+    rem = grid.nrows % band_rows
+    if rem:
+        _force(tps_predict_grid(model, grid.subgrid(grid.nrows - rem, grid.nrows, 0, grid.ncols)))
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    total = 0
+    for r0 in range(0, grid.nrows, band_rows):
+        s = grid.subgrid(r0, min(r0 + band_rows, grid.nrows), 0, grid.ncols)
+        acc = acc + jnp.nansum(tps_predict_grid(model, s))
+        total += s.ncell
+    full_checksum = float(acc)           # single sync
+    dt_full = time.perf_counter() - t0
     return {
         "config": 5,
         "shape": f"{stations} knots -> {m} landmarks, {grid.ncell/1e9:.2f} Gcell grid",
         "solve_cold_s": round(t_cold, 2),
         "solve_s": round(t_solve, 2),
         "band_mcells_per_s": round(mcells, 2),
-        "extrapolated_full_surface_s": round(grid.ncell / (mcells * 1e6), 1),
+        "measured_full_surface_s": round(dt_full, 1),
+        "full_surface_mcells_per_s": round(total / dt_full / 1e6, 1),
+        "full_checksum": full_checksum,
         "lambda": lam,
         "checksum": checksum,
     }
@@ -448,6 +548,7 @@ def main():
         4: config4,
         "4_pipeline": config4_pipeline,
         "4_pipeline_full": config4_pipeline_full,
+        "3_pipeline": config3_pipeline,
         "forest": forest_predict_1e8,
         5: config5,
     }

@@ -124,17 +124,24 @@ def run_cv(
 
     pad_to = 1 if mesh is None else int(np.prod(mesh.devices.shape))
 
-    def chunked(fn, *args):
+    def chunked(fn, *args, chunk: int | None = None):
         m = args[0].shape[0]
+        chunk = vmap_chunk if chunk is None else max(1, min(chunk, vmap_chunk))
         outs = []
-        for s in range(0, m, vmap_chunk):
-            part = [a[s : s + vmap_chunk] for a in args]
+        for s in range(0, m, chunk):
+            part = [a[s : s + chunk] for a in args]
             mm = part[0].shape[0]
             rem = (-mm) % pad_to  # sharded batch axes must divide the mesh
             if rem:
                 part = [jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)]) for a in part]
             outs.append(fn(*part)[:mm])
         return jnp.concatenate(outs, axis=0)
+
+    # memory-aware vmap widths: a batched model's HBM footprint is
+    # per_model_f32 words x width; bound it to ~2 GB so the 19-response x
+    # 10k-station shape (config 3) cannot blow the worker (round-5 crash)
+    def mem_chunk(per_model_f32: float) -> int:
+        return max(1, min(vmap_chunk, int(0.5e9 // max(per_model_f32, 1.0))))
 
     preds: dict[str, Any] = {}
 
@@ -151,13 +158,52 @@ def run_cv(
         fit_m = batched_jit(jax.vmap(
             lambda yy, w: mars.predict(mars.fit(None, x, yy, sample_weight=w, **config.mars), x)
         ), 2)
-        preds["m"] = chunked(fit_m, flat_y, flat_w)
+        # the forward pass scores every span-filtered candidate at once:
+        # a handful of (n, p x n_knots) panels per model
+        p_pad = max(int(x.shape[1]), 1)
+        nk = int(config.mars.get("n_knots", 64))
+        preds["m"] = chunked(
+            fit_m, flat_y, flat_w, chunk=mem_chunk(8.0 * n * p_pad * nk)
+        )
     if "v" in algorithms:
         keys = jax.random.split(ks, n_resp * k)
-        fit_v = batched_jit(jax.vmap(
-            lambda kk, yy, w: svm.predict(svm.fit(kk, x, yy, sample_weight=w, **config.svm), x)
-        ), 3)
-        preds["v"] = chunked(fit_v, keys, flat_y, flat_w)
+        if invert:
+            # n > 4000: each model TRAINS on one ~n/k-row fold (V73:227-232).
+            # The masks are concrete here, so gather the active rows instead
+            # of carrying masked (n, n) kernels — the K matrix shrinks
+            # (n/k)^2-fold (at config 3: 400 MB -> 4 MB per model), which is
+            # the difference between the SVM letter crashing the worker and
+            # running comfortably vmapped.
+            w_np = np.asarray(flat_w)
+            act = w_np > 0
+            n_tr = int(act.sum(axis=1).max())
+            m_all = n_resp * k
+            idx = np.zeros((m_all, n_tr), np.int64)
+            wg = np.zeros((m_all, n_tr), np.float32)
+            for mi in range(m_all):
+                ii = np.flatnonzero(act[mi])
+                idx[mi, : len(ii)] = ii          # pad rows repeat index 0
+                wg[mi, : len(ii)] = w_np[mi, ii]  # ...at weight 0 (inactive)
+            x_np = np.asarray(x)
+            xg = jnp.asarray(x_np[idx], x.dtype)               # (M, n_tr, p)
+            yg = jnp.take_along_axis(flat_y, jnp.asarray(idx), axis=1)
+            wg = jnp.asarray(wg, x.dtype)
+            fit_v = batched_jit(jax.vmap(
+                lambda kk, xx, yy, ww: svm.predict(
+                    svm.fit(kk, xx, yy, sample_weight=ww, **config.svm), x
+                )
+            ), 4)
+            preds["v"] = chunked(
+                fit_v, keys, xg, yg, wg,
+                chunk=mem_chunk(3.0 * n_tr * n_tr + 2.0 * n * n_tr),
+            )
+        else:
+            fit_v = batched_jit(jax.vmap(
+                lambda kk, yy, w: svm.predict(svm.fit(kk, x, yy, sample_weight=w, **config.svm), x)
+            ), 3)
+            preds["v"] = chunked(
+                fit_v, keys, flat_y, flat_w, chunk=mem_chunk(5.0 * n * n)
+            )
     if "r" in algorithms:
         keys_r = [jax.random.fold_in(kr, i) for i in range(n_resp * k)]
         # predictions at x come from the growers' own node assignments

@@ -20,8 +20,11 @@ matches the primal KKT with b = lambda); the final bias is refined from the
 free support vectors exactly as libsvm/kernlab do
 (b = mean over 0<|theta_i|<C of  y_i - (K theta)_i - eps*sign(theta_i)).
 Everything is fixed-shape under ``lax.scan`` so the whole fit jits and vmaps
-across CV folds.  n is at most a few thousand in this pipeline, so K stays
-resident.
+across CV folds.  K stays resident per fit; the CALLERS bound the total:
+run_cv gathers the ~n/k active rows per inverted fold and widths its vmap
+by the (n, n) footprint, the final-fit batcher chunks its response axis,
+and ``predict`` chunks large query batches internally (round 5 — the
+19-response x 10k-station shape crashed the TPU worker before these).
 
 Variable importance is computed by the pipeline via the breakDown-style
 sampled contribution report (ensemble/importance.py), matching V73:562-580.
@@ -149,8 +152,28 @@ def fit(
 
 
 @highest_precision
-def predict(state: SVMState, x) -> jax.Array:
+def predict(state: SVMState, x, query_block: int = 0) -> jax.Array:
+    """SVR decision function at ``x``.
+
+    Large query batches are processed in ``query_block``-row chunks under
+    one ``lax.map`` so the (m, n_sv) kernel panel stays bounded (~64 MB by
+    default) — at config-3 scale (10k SVs, 1M-cell raster blocks, 19
+    responses vmapped) the unchunked panel alone is tens of GB (the
+    round-5 TPU worker crash)."""
     xs = (jnp.asarray(x) - state.x_mean) / state.x_scale
-    k = _rbf(xs, state.sv_x, state.sigma)
-    f = k @ state.theta + state.bias
-    return f * state.y_scale + state.y_mean
+    m = xs.shape[0]
+    n_sv = state.sv_x.shape[0]
+
+    def direct(q):
+        k = _rbf(q, state.sv_x, state.sigma)
+        f = k @ state.theta + state.bias
+        return f * state.y_scale + state.y_mean
+
+    if query_block <= 0:
+        query_block = max(128, int(16e6) // max(n_sv, 1))
+    if m <= query_block:
+        return direct(xs)
+    pad = (-m) % query_block
+    xp = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+    out = jax.lax.map(direct, xp.reshape(-1, query_block, xs.shape[1]))
+    return out.reshape(-1)[:m]

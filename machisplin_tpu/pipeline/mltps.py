@@ -73,6 +73,8 @@ class MLTPSConfig:
     tps_tile_chunk: int = 16         # tiles solved/predicted per device batch
     weight_optimizer: str = "lbfgsb"  # or "sweep" (TPU batched candidate sweep)
     batch_final_brt: bool = True  # batch gbm.step final fits across responses
+    batch_final_rf: bool = True   # merge RF finals into one raster pass
+    letters_pool: str | None = None  # restrict the algorithm pool (extension)
     predict_block_rows: int = 256
     svm_importance_sample: int = 200  # V73:564
     use_pallas: bool | None = None
@@ -181,10 +183,15 @@ def _prepare_inputs(int_values, covar_ras: Raster):
     # revert — pool-side) was finally A/B'd on a calm round-5 pool:
     # jit 25.7 ms vs eager 38.6 ms warm, and one dispatch instead of ~8
     # tunnel round trips cold (artifacts/round5, input_prep A/B).
+    # The raster DATA is a jit argument, not a closure: a closed-over
+    # array bakes into the program as a constant, and at config-4 scale
+    # (1e8-cell stack) the remote-compile upload exceeds the axon
+    # tunnel's request cap (HTTP 413, round-5 config4_pipeline).
+    grid_, names_ = rast_stack.grid, rast_stack.names
     vals = np.asarray(
-        jax.jit(lambda lo, la: extract(rast_stack, lo, la))(
-            cols[:, 0], cols[:, 1]
-        )
+        jax.jit(
+            lambda data, lo, la: extract(Raster(data, grid_, names_), lo, la)
+        )(rast_stack.data, cols[:, 0], cols[:, 1])
     )                                                        # (n, C+2)
     full = np.concatenate([cols, vals], axis=1)
     keep = np.all(np.isfinite(full), axis=1)
@@ -329,7 +336,21 @@ def _fit_final_batched(letter, keys, x, ycols, names, config: MLTPSConfig):
         return fn, imps
     if letter == "v":
         fit = jax.jit(jax.vmap(lambda kk, yy: svm.fit(kk, x, yy, **config.final_svm)))
-        states = fit(keys, ycols.T)
+        # each fit holds an (n, n) kernel + solver temps: bound the vmapped
+        # response width to ~2 GB (at config-3's 10k stations that is 1-2
+        # responses per program; at the bundled 813 it is all of them)
+        n_rows = int(np.asarray(x).shape[0])
+        vchunk = max(1, int(0.5e9 // max(3 * n_rows * n_rows, 1)))
+        if n_resp <= vchunk:
+            states = fit(keys, ycols.T)
+        else:
+            parts = [
+                fit(keys[s : s + vchunk], ycols.T[s : s + vchunk])
+                for s in range(0, n_resp, vchunk)
+            ]
+            states = jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=0), *parts
+            )
         fn = lambda q: jax.vmap(lambda s: svm.predict(s, q))(states).T
         imps = [
             breakdown_importance(
@@ -559,7 +580,16 @@ def mltps(
             int_values, covar_ras
         )
     x = jnp.asarray(x, rast_stack.data.dtype)
+    # algorithm-pool restriction: smooth.outputs.only is the reference's
+    # switch (V73:366-393); config.letters_pool is a framework extension
+    # letting callers run any subset (e.g. "br" to skip the slow letters)
     letters_pool = SMOOTH_LETTERS if smooth_outputs_only else "bgnmrv"
+    if config.letters_pool is not None:
+        letters_pool = "".join(l for l in letters_pool if l in config.letters_pool)
+        if not letters_pool:
+            raise ValueError(
+                f"letters_pool {config.letters_pool!r} excludes every algorithm"
+            )
 
     # part 1 for ALL responses at once: every (response, fold) model of the
     # vmappable algorithms trains in one batched program — the TPU-native
@@ -729,6 +759,59 @@ def mltps(
                             mesh=config.mesh,
                         )
                     _accumulate(i, letter, surf, fn(x), imps_b[j])
+        elif letter == "r" and len(sel) > 1 and config.batch_final_rf and (
+            config.mesh is not None or jax.default_backend() != "cpu"
+        ):
+            # merged-forest RF finals (the BRT treatment, VERDICT r4 #3):
+            # the fits are cheap (~0.05 s for 500 trees) and stay serial —
+            # the win is ONE raster stream for all responses instead of R,
+            # with a (T_total, R) weight matrix zeroing foreign trees.
+            # Every response's forest has the same ntree (config.final_rf),
+            # so blocks stack directly.
+            keys_r = _letter_keys("r", sel)
+            states_r, imps_r = [], []
+            with timer.phase(f"final_fit_r_x{len(sel)}"):
+                for j, i in enumerate(sel):
+                    states_r.append(
+                        rf.fit(keys_r[j], x, ys_dev[i], **config.final_rf)
+                    )
+            with timer.phase("importance_r"):
+                for j, i in enumerate(sel):
+                    imps_r.append(
+                        rf.importance(states_r[j], x, ys_dev[i], covar_names)
+                    )
+            p_feat = np.asarray(x).shape[1]
+            merged_trees = jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=0),
+                *[s.trees for s in states_r],
+            )
+            with timer.phase("forest_tables_r"):
+                tabs = _forest_tables(merged_trees, p_feat, config.mesh)
+            from ..ops.pallas_forest import forest_predict_bins
+
+            nts = [int(s.trees.feat.shape[0]) for s in states_r]
+            wmat = np.zeros((sum(nts), len(sel)), np.float32)
+            off = 0
+            for j, nt in enumerate(nts):
+                wmat[off : off + nt, j] = 1.0 / nt
+                off += nt
+            wmat_d = jnp.asarray(wmat)
+            rfn = lambda q: forest_predict_bins(
+                merged_trees, q, wmat_d, tables=tabs
+            )
+            rfn.manual_shard = True
+            with timer.phase(f"raster_predict_r_x{len(sel)}"):
+                rsurf = predict_over_stack(
+                    rfn, rast_stack, config.predict_block_rows,
+                    mesh=config.mesh, out_cols=len(sel),
+                )
+            # station predictions route through the SAME merged kernel (one
+            # tiny dispatch) — exact parity with the serial path; the CV
+            # phase is where the train_pred shortcut pays (120 models)
+            rpt = rfn(x)
+            for j, i in enumerate(sel):
+                _accumulate(i, letter, rsurf[..., j], rpt[:, j], imps_r[j])
+            del rsurf
         else:
             for i in sel:
                 name = resp_names[i]

@@ -156,6 +156,27 @@ def test_aicc_subset_selection(rng):
         assert ":" in out.percent_text
 
 
+def test_run_cv_inverted_svm_trains_on_gathered_fold(rng):
+    """Round 5: in the inverted regime the SVM letter gathers each model's
+    ~n/k active training rows instead of carrying masked (n, n) kernels
+    (the config-3 worker-crash fix).  The gathered fit must retain the
+    signal (the fold IS the training set) and produce the inverted
+    fold-major residual layout."""
+    n, k = 240, 4
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(x)[:, 0]) + 0.05 * rng.standard_normal(n)
+    )
+    cfg = CVConfig(n_folds=k, invert_threshold=100)
+    out = run_cv(jax.random.PRNGKey(2), x, y, config=cfg, algorithms="v")
+    res = out["v"]
+    assert res.shape == ((k - 1) * n,)
+    assert np.isfinite(res).all()
+    # trained on 60 rows, tested on 180: still far better than predicting
+    # the mean (the signal std is ~0.7, the noise 0.05)
+    assert np.sqrt(np.mean(res**2)) < 0.3
+
+
 def test_run_cv_inverted_split_over_4000_rows(rng):
     """Above 4000 rows the reference trains on ONE fold and tests on the
     rest (V73:227-232): the fold-major residual concat then has (k-1) * n/k

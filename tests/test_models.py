@@ -156,6 +156,18 @@ def test_svm_weighted_masks_rows(rng):
     assert np.all(np.asarray(state.theta)[150:] == 0)
 
 
+def test_svm_predict_query_chunking_exact(rng):
+    """predict's internal lax.map chunking (bounded (m, n_sv) kernel
+    panels, the config-3 raster-block fix) is a pure execution-layout
+    change: chunked == direct."""
+    x, y = make_data(rng, n=150)
+    state = svm.fit(jax.random.PRNGKey(0), x, y)
+    q = jnp.asarray(np.random.default_rng(5).uniform(-1, 2, (1000, x.shape[1])))
+    direct = np.asarray(svm.predict(state, q, query_block=10**9))
+    chunked = np.asarray(svm.predict(state, q, query_block=128))
+    np.testing.assert_allclose(chunked, direct, atol=1e-5, rtol=0)
+
+
 def test_svm_reaches_exact_kkt_optimum(rng):
     """The augmented-Lagrangian solver must land on the TRUE eps-SVR dual
     optimum — the same KKT point kernlab's SMO finds — not the penalized-bias
