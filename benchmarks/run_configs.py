@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import math
 import os
 import sys
@@ -530,6 +531,12 @@ def main():
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--only", type=str, default=None)
     args = ap.parse_args()
+    # phase/letter INFO logs localize crashes inside long pipeline configs
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s",
+        stream=sys.stdout,
+    )
 
     import jax
     import jax.numpy as jnp

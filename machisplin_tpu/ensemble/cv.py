@@ -18,6 +18,8 @@ across the chips — including the gbm.step chain axis and the RF folds.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from typing import Any
 
 import jax
@@ -28,6 +30,8 @@ from ..models import brt, gam, gbm_step, mars, nn, rf, svm
 from .kfold import fold_masks, kfold
 
 from ..utils.precision import highest_precision
+
+log = logging.getLogger("machisplin_tpu.cv")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,16 +149,29 @@ def run_cv(
 
     preds: dict[str, Any] = {}
 
+    def _letter_done(letter, t0):
+        # per-letter progress (INFO) with a forced completion sync:
+        # localizes crashes/stalls at scale — the round-5 config-3 TPU
+        # worker crash was phase-anonymous under async dispatch.  The one
+        # scalar readback per letter is noise next to any letter's work.
+        float(jnp.nansum(preds[letter]))
+        log.info("cv letter %s done in %.1f s", letter, time.perf_counter() - t0)
+
     if "g" in algorithms:
+        t0 = time.perf_counter()
         fit_g = batched_jit(jax.vmap(
             lambda yy, w: gam.predict(gam.fit(None, x, yy, sample_weight=w, **config.gam), x)
         ), 2)
         preds["g"] = chunked(fit_g, flat_y, flat_w)
+        _letter_done("g", t0)
     if "n" in algorithms:
+        t0 = time.perf_counter()
         keys = jax.random.split(kn, n_resp * k)
         fit_n = batched_jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)), 3)
         preds["n"] = chunked(fit_n, keys, flat_y, flat_w)
+        _letter_done("n", t0)
     if "m" in algorithms:
+        t0 = time.perf_counter()
         fit_m = batched_jit(jax.vmap(
             lambda yy, w: mars.predict(mars.fit(None, x, yy, sample_weight=w, **config.mars), x)
         ), 2)
@@ -165,7 +182,9 @@ def run_cv(
         preds["m"] = chunked(
             fit_m, flat_y, flat_w, chunk=mem_chunk(8.0 * n * p_pad * nk)
         )
+        _letter_done("m", t0)
     if "v" in algorithms:
+        t0 = time.perf_counter()
         keys = jax.random.split(ks, n_resp * k)
         if invert:
             # n > 4000: each model TRAINS on one ~n/k-row fold (V73:227-232).
@@ -204,7 +223,9 @@ def run_cv(
             preds["v"] = chunked(
                 fit_v, keys, flat_y, flat_w, chunk=mem_chunk(5.0 * n * n)
             )
+        _letter_done("v", t0)
     if "r" in algorithms:
+        t0 = time.perf_counter()
         keys_r = [jax.random.fold_in(kr, i) for i in range(n_resp * k)]
         # predictions at x come from the growers' own node assignments
         # (RFState.train_pred) — round 5 removed the per-tree gather walk
@@ -238,7 +259,9 @@ def run_cv(
                 ]
             rows.append(fit_rv(*part)[:mm])
         preds["r"] = jnp.concatenate(rows, axis=0)
+        _letter_done("r", t0)
     if "b" in algorithms:
+        t0 = time.perf_counter()
         # ALL (response, outer-fold) gbm.step runs batched into one call:
         # each pair is just another boosting chain with its own y column;
         # with a mesh the chain axis shards across the devices (the
@@ -247,6 +270,7 @@ def run_cv(
             kb, x, flat_y, flat_w, mesh=mesh, **config.brt
         )
         preds["b"] = jnp.asarray(preds_b)
+        _letter_done("b", t0)
 
     # fold-major concatenation of test residuals (V73:255-319), per response
     test_np = np.asarray(test_w) > 0                         # (R, K, n)

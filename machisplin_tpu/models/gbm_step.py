@@ -76,6 +76,11 @@ class GBMStepResult(NamedTuple):
     cv_statistics: dict[str, Any] | None = None    # V73:2194-2197
 
 
+# batched bag-draw budget (f32 words): above this the (T, F*K, n) tensor is
+# drawn per tree inside the scan instead (bit-identical; see _cycle_program)
+_BAG_BATCH_WORDS = int(128e6)
+
+
 def stopping_fired(mean_curve, tolerance, win: int = 10):
     """The reference's stopping test evaluated at the LAST checkpoint of
     ``mean_curve`` (V73:1957-1961, 1-indexed R): with j checkpoints grown,
@@ -321,6 +326,14 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
                     in_specs=(P(), P(), P(ax), P(ax), P(ax)), out_specs=P(ax),
                 )
 
+            def per_tree_bag(key_t):
+                kf = jax.random.split(key_t, f_outer)
+                u = jax.vmap(
+                    lambda k: jax.random.uniform(k, (n_folds, n))
+                )(kf)                                         # (F, K, n)
+                return ((u < bag_fraction).astype(x.dtype) * train_w
+                        ).reshape(f_outer * n_folds, n)
+
             def draw_bags(keys):
                 # ALL of a cycle's bag draws in ONE batched threefry
                 # dispatch — the per-tree split+uniform chains were ~half
@@ -328,17 +341,18 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
                 # bit-identical to per-tree draws (threefry is a pure
                 # function of the key): vmap over the scan's tree keys of
                 # the shared_bins path's per-outer draw.
-                def per_tree(key_t):
-                    kf = jax.random.split(key_t, f_outer)
-                    u = jax.vmap(
-                        lambda k: jax.random.uniform(k, (n_folds, n))
-                    )(kf)                                     # (F, K, n)
-                    return ((u < bag_fraction).astype(x.dtype) * train_w
-                            ).reshape(f_outer * n_folds, n)
+                return jax.vmap(per_tree_bag)(keys)           # (T, F*K, n)
 
-                return jax.vmap(per_tree)(keys)               # (T, F*K, n)
+            # the batched (T, F*K, n) bag tensor is ~4 GB at config-3 scale
+            # (50 x 200 x 10k); above ~0.5 GB draw each tree's bag inside
+            # the scan instead — bit-identical (threefry is a pure function
+            # of the key), just without the one-dispatch latency win
+            batch_bags = (
+                step_size * f_outer * n_folds * n <= _BAG_BATCH_WORDS
+            )
 
-            def tree_step(fm, bag_t):
+            def tree_step(fm, bag_or_key):
+                bag_t = bag_or_key if batch_bags else per_tree_bag(bag_or_key)
                 fm_new = update(xbt, cum1h, y_flat, fm, bag_t)
                 return fm_new, None
 
@@ -405,8 +419,9 @@ def _cycle_program(*, n_splits, lr, bag_fraction, min_leaf, step_size,
             kj, key_c = jax.random.split(kj)
             keys = jax.random.split(key_c, step_size)
             if global_bins:
+                xs_scan = draw_bags(keys) if batch_bags else keys
                 fm_flat, _ = jax.lax.scan(
-                    tree_step, fm.reshape(f_outer * n_folds, n), draw_bags(keys)
+                    tree_step, fm.reshape(f_outer * n_folds, n), xs_scan
                 )
                 fm = fm_flat.reshape(f_outer, n_folds, n)
             else:

@@ -61,11 +61,20 @@ def nystrom_tps_fit(
     chunk: int = 65536,
     ngrid: int = 128,
     ridge: float | None = None,
+    mesh=None,
 ) -> TPSModel:
     """Fit the reduced-basis smoothing spline; returns a TPSModel whose knots
     are the (range-scaled) landmarks, so every TPS prediction path applies.
 
     y may be (n,) or (n, R); lambda is GCV-selected per response when None.
+
+    ``mesh``: optional device mesh — the two O(n x m) streamed passes (the
+    B'B / B'y cross-products and the fitted-values pass) shard over the
+    STATION axis via shard_map (independent per-device accumulation + one
+    psum); the (m+3)-rank solve tail replicates.  This is the north-star
+    multi-chip layout for configs 4-5 (100k-500k stations): the
+    station-dependent share of the solve scales with the mesh, the m^3
+    tail does not.
 
     Runs at HIGHEST matmul precision throughout: the normal-equations
     accumulation squares the conditioning, so TPU's default bfloat16
@@ -73,11 +82,66 @@ def nystrom_tps_fit(
     """
     with jax.default_matmul_precision("highest"):
         return _nystrom_tps_fit_impl(
-            coords, y, landmarks, m, lam, key, chunk, ngrid, ridge
+            coords, y, landmarks, m, lam, key, chunk, ngrid, ridge, mesh
         )
 
 
-def _nystrom_tps_fit_impl(coords, y, landmarks, m, lam, key, chunk, ngrid, ridge):
+def _stream_stats(xs_p, y_p, w_p, z, chunk, dtype, vary_axis=None):
+    """Streamed normal-equation pieces over one (padded) station block:
+    G = B'B, B'y, y'y with B = [T, K_nz], rows masked by ``w_p``.
+
+    ``vary_axis``: set to the mesh axis name when called inside shard_map —
+    the scan's zero init must carry the same varying-axis type as the
+    shard-dependent outputs."""
+    n_resp = y_p.shape[1]
+    p_dim = 3 + z.shape[0]
+
+    def chunk_stats(carry, start):
+        g, bty, yy = carry
+        xi = jax.lax.dynamic_slice(xs_p, (start, 0), (chunk, 2))
+        yi = jax.lax.dynamic_slice(y_p, (start, 0), (chunk, n_resp))
+        wi = jax.lax.dynamic_slice(w_p, (start,), (chunk,))[:, None]
+        xi = xi * wi + 0.5 * (1 - wi)
+        yi = yi * wi
+        k_i = _phi(_pairwise_r2(xi, z), dtype) * wi
+        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * wi
+        b_i = jnp.concatenate([t_i, k_i], axis=1)          # (chunk, 3+m)
+        g = g + b_i.T @ b_i
+        bty = bty + b_i.T @ yi
+        yy = yy + jnp.sum(yi * yi, axis=0)
+        return (g, bty, yy), None
+
+    n_chunks = xs_p.shape[0] // chunk
+    init = (
+        jnp.zeros((p_dim, p_dim), dtype),
+        jnp.zeros((p_dim, n_resp), dtype),
+        jnp.zeros((n_resp,), dtype),
+    )
+    if vary_axis is not None:
+        init = jax.tree.map(lambda a: jax.lax.pvary(a, vary_axis), init)
+    starts = jnp.arange(n_chunks) * chunk
+    (g, bty, yy), _ = jax.lax.scan(chunk_stats, init, starts)
+    return g, bty, yy
+
+
+def _stream_fitted(xs_p, w_p, z, d, c, chunk, dtype):
+    """Streamed fitted values over one (padded) station block -> (rows, R)."""
+
+    def chunk_fit(_, start):
+        xi = jax.lax.dynamic_slice(xs_p, (start, 0), (chunk, 2))
+        wi = jax.lax.dynamic_slice(w_p, (start,), (chunk,))[:, None]
+        xi = xi * wi + 0.5 * (1 - wi)
+        k_i = _phi(_pairwise_r2(xi, z), dtype) * wi
+        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * wi
+        return None, t_i @ d + k_i @ c                     # (chunk, R)
+
+    n_chunks = xs_p.shape[0] // chunk
+    starts = jnp.arange(n_chunks) * chunk
+    _, fit_chunks = jax.lax.scan(chunk_fit, None, starts)
+    return fit_chunks.reshape(n_chunks * chunk, -1)
+
+
+def _nystrom_tps_fit_impl(coords, y, landmarks, m, lam, key, chunk, ngrid, ridge, mesh=None):
     coords = jnp.asarray(coords)
     y = jnp.asarray(y)
     single = y.ndim == 1
@@ -102,37 +166,47 @@ def _nystrom_tps_fit_impl(coords, y, landmarks, m, lam, key, chunk, ngrid, ridge
 
     kzz = _phi(_pairwise_r2(z, z), dtype)
 
-    # streamed cross-products: G = B'B, bty = B'y with B = [T, K_nz]
+    # streamed cross-products: G = B'B, bty = B'y with B = [T, K_nz].
+    # With a mesh the station axis shards: each device accumulates its own
+    # chunks, one psum combines — the O(n m^2) phase scales with the mesh.
     p_dim = 3 + m_eff
+    if mesh is not None:
+        import numpy as onp_
 
-    def chunk_stats(carry, start):
-        g, bty, yy = carry
-        xi = jax.lax.dynamic_slice(xs, (start, 0), (chunk, 2))
-        yi = jax.lax.dynamic_slice(ycols, (start, 0), (chunk, n_resp))
-        valid = (start + jnp.arange(chunk) < n)[:, None].astype(dtype)
-        xi = xi * valid + 0.5 * (1 - valid)
-        yi = yi * valid
-        k_i = _phi(_pairwise_r2(xi, z), dtype) * valid
-        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * valid
-        b_i = jnp.concatenate([t_i, k_i], axis=1)          # (chunk, 3+m)
-        g = g + b_i.T @ b_i
-        bty = bty + b_i.T @ yi
-        yy = yy + jnp.sum(yi * yi, axis=0)
-        return (g, bty, yy), None
+        from jax.sharding import PartitionSpec as P
 
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
+        ax = mesh.axis_names[0]
+        n_dev = int(onp_.prod(mesh.devices.shape))
+        chunk_eff = min(chunk, max(-(-n // n_dev), 1))
+        per_dev = -(-n // (n_dev * chunk_eff))
+        n_pad = n_dev * per_dev * chunk_eff
+    else:
+        chunk_eff = chunk
+        n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
     xs_p = jnp.pad(xs, ((0, pad), (0, 0)), constant_values=0.5)
     y_p = jnp.pad(ycols, ((0, pad), (0, 0)))
+    w_p = (jnp.arange(n_pad) < n).astype(dtype)
     xs, ycols = xs_p, y_p
 
-    init = (
-        jnp.zeros((p_dim, p_dim), dtype),
-        jnp.zeros((p_dim, n_resp), dtype),
-        jnp.zeros((n_resp,), dtype),
-    )
-    starts = jnp.arange(n_chunks) * chunk
-    (g, bty, yy), _ = jax.lax.scan(chunk_stats, init, starts)
+    if mesh is not None:
+        def local_stats(xl, yl, wl):
+            g_l, bty_l, yy_l = _stream_stats(
+                xl, yl, wl, z, chunk_eff, dtype, vary_axis=ax
+            )
+            return (
+                jax.lax.psum(g_l, ax),
+                jax.lax.psum(bty_l, ax),
+                jax.lax.psum(yy_l, ax),
+            )
+
+        g, bty, yy = jax.jit(jax.shard_map(
+            local_stats, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax)),
+            out_specs=(P(), P(), P()),
+        ))(xs_p, y_p, w_p)
+    else:
+        g, bty, yy = _stream_stats(xs_p, y_p, w_p, z, chunk_eff, dtype)
 
     # Solve tail: the (m+3)^2 system is tiny next to the streamed
     # cross-products, but badly conditioned — in f32 the Cholesky can go NaN
@@ -209,17 +283,18 @@ def _nystrom_tps_fit_impl(coords, y, landmarks, m, lam, key, chunk, ngrid, ridge
     c = beta[3:]
 
     # fitted values / residuals: one more streamed pass over the stations
-    # (O(n_chunk x m) matmuls; the outputs are only (n, R))
-    def chunk_fit(_, start):
-        xi = jax.lax.dynamic_slice(xs, (start, 0), (chunk, 2))
-        valid = (start + jnp.arange(chunk) < n)[:, None].astype(dtype)
-        xi = xi * valid + 0.5 * (1 - valid)
-        k_i = _phi(_pairwise_r2(xi, z), dtype) * valid
-        t_i = jnp.concatenate([jnp.ones((chunk, 1), dtype), xi], axis=1) * valid
-        return None, t_i @ d + k_i @ c                         # (chunk, R)
+    # (O(n_chunk x m) matmuls; the outputs are only (n, R)); sharded over
+    # stations on a mesh like the cross-products above
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
 
-    _, fit_chunks = jax.lax.scan(chunk_fit, None, starts)
-    fitted = fit_chunks.reshape(n_chunks * chunk, n_resp)[:n]
+        fitted_pad = jax.jit(jax.shard_map(
+            lambda xl, wl: _stream_fitted(xl, wl, z, d, c, chunk_eff, dtype),
+            mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=P(ax),
+        ))(xs_p, w_p)
+    else:
+        fitted_pad = _stream_fitted(xs_p, w_p, z, d, c, chunk_eff, dtype)
+    fitted = fitted_pad[:n]
     residuals = ycols[:n] - fitted
     eff_df = jnp.sum(s, axis=0)
     if single:

@@ -337,6 +337,30 @@ def test_gbm_outer_batched_matches_sequential_quality(rng):
         assert np.sum(res**2) < 0.5 * np.sum((y_np[test] - y_np[test].mean()) ** 2)
 
 
+def test_gbm_per_tree_bag_draws_bit_identical(rng, monkeypatch):
+    """Round 5: above the bag-draw memory budget the (T, F*K, n) batched
+    tensor is replaced by per-tree draws inside the scan.  threefry is a
+    pure function of the key, so the paths must be BIT-identical."""
+    x, y = make_data(rng, n=160)
+    w = np.zeros((2, 160), np.float32)
+    folds = np.arange(160) % 2
+    for f in range(2):
+        w[f] = (folds != f).astype(np.float32)
+    kw = dict(
+        tree_complexity=3, learning_rate=0.05, step_size=20, max_trees=100,
+        n_folds=4,
+    )
+    preds_a, best_a = gbm_step.fit_outer_batched(
+        jax.random.PRNGKey(5), x, y, jnp.asarray(w), **kw
+    )
+    monkeypatch.setattr(gbm_step, "_BAG_BATCH_WORDS", 0)
+    preds_b, best_b = gbm_step.fit_outer_batched(
+        jax.random.PRNGKey(5), x, y, jnp.asarray(w), **kw
+    )
+    assert list(best_a) == list(best_b)
+    np.testing.assert_array_equal(np.asarray(preds_a), np.asarray(preds_b))
+
+
 def test_gbm_fit_multi_matches_serial_fits(rng):
     """Round-4 (VERDICT next #3): gbm.step final fits batched across
     responses.  ``fit_multi`` must reproduce each response's serial ``fit``

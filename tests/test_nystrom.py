@@ -86,3 +86,30 @@ def test_nystrom_fitted_and_residuals_are_real(rng):
     )
     # the smooth surface is actually fit: residuals are small
     assert float(jnp.sqrt(jnp.mean(model.residuals**2))) < 0.05
+
+
+def test_nystrom_mesh_sharded_matches_single_device(rng):
+    """Round 5: the two O(n x m) streamed passes shard over the station
+    axis (shard_map + psum) — a pure execution-layout change.  The mesh
+    fit must match the single-device fit up to f32 accumulation reorder."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from machisplin_tpu.parallel import make_mesh
+
+    n = 1500
+    coords = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    ys = jnp.stack(
+        [jnp.sin(4 * coords[:, 0]), jnp.cos(3 * coords[:, 1])], axis=1
+    )
+    kw = dict(m=128, chunk=128, key=jax.random.PRNGKey(0))
+    m1 = nystrom_tps_fit(coords, ys, **kw)
+    m8 = nystrom_tps_fit(coords, ys, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(np.asarray(m8.lam), np.asarray(m1.lam), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(m8.fitted), np.asarray(m1.fitted), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m8.c), np.asarray(m1.c), rtol=5e-3, atol=1e-5
+    )
