@@ -33,6 +33,11 @@ from ..utils.precision import highest_precision
 
 log = logging.getLogger("machisplin_tpu.cv")
 
+# NN letter: max (vmap width x rows x L-BFGS iterations) per device program
+# — above this the loop advances in segmented dispatches (see
+# _nn_letter_segmented); bit-identical, bounded program duration
+_NN_DISPATCH_WORK = int(1.5e9)
+
 
 @dataclasses.dataclass(frozen=True)
 class CVConfig:
@@ -57,13 +62,66 @@ class CVConfig:
 
 def _nn_fold(key, x, y, train_w, cfg):
     """NN with the reference's per-fold [0,1] response transform."""
+    yn, y_min, y_max = _nn_y_transform(y, train_w)
+    state = nn.fit(key, x, yn, sample_weight=train_w, **cfg)
+    return nn.predict(state, x) * y_max + y_min
+
+
+def _nn_y_transform(y, train_w):
+    """The reference's train-split min-shift/max-scale (V73:234-241)."""
     big = jnp.finfo(y.dtype).max
     y_min = jnp.min(jnp.where(train_w > 0, y, big))
     y_shift = y - y_min
-    y_max = jnp.max(jnp.where(train_w > 0, y_shift, -big))
-    y_max = jnp.maximum(y_max, 1e-12)
-    state = nn.fit(key, x, y_shift / y_max, sample_weight=train_w, **cfg)
-    return nn.predict(state, x) * y_max + y_min
+    y_max = jnp.maximum(jnp.max(jnp.where(train_w > 0, y_shift, -big)), 1e-12)
+    return y_shift / y_max, y_min, y_max
+
+
+def _nn_letter_segmented(keys, flat_y, flat_w, x, nn_cfg, maxit, seg,
+                         batched_jit, vmap_chunk, pad_to):
+    """The NN CV letter with the L-BFGS loop advanced in bounded
+    dispatches: init carry -> K x fit_carry_steps -> predict, vmapped over
+    the (response x fold) axis in ``vmap_chunk`` groups.  Identical update
+    sequence to the single-dispatch path (nn.fit's scan), so results match
+    bit-for-bit; only the program boundaries move."""
+    decay = float(nn_cfg.pop("decay", 0.0))
+    init_kw = {k: v for k, v in nn_cfg.items() if k in ("hidden", "init_range")}
+
+    def init_one(kk, yy, ww):
+        yn, _, _ = _nn_y_transform(yy, ww)
+        return nn.fit_carry_init(kk, x, yn, sample_weight=ww, **init_kw)
+
+    def pred_one(carry, yy, ww):
+        _, y_min, y_max = _nn_y_transform(yy, ww)
+        return nn.predict(nn.carry_to_state(carry), x) * y_max + y_min
+
+    def step_fn(steps):
+        def one(carry, yy, ww):
+            yn, _, _ = _nn_y_transform(yy, ww)
+            return nn.fit_carry_steps(
+                carry, x, yn, sample_weight=ww, steps=steps, decay=decay
+            )
+
+        return batched_jit(jax.vmap(one), 3)
+
+    init_v = batched_jit(jax.vmap(init_one), 3)
+    pred_v = batched_jit(jax.vmap(pred_one), 3)
+    segments = [seg] * (maxit // seg) + ([maxit % seg] if maxit % seg else [])
+    step_v = {s: step_fn(s) for s in sorted(set(segments))}
+
+    m = keys.shape[0]
+    outs = []
+    for s0 in range(0, m, vmap_chunk):
+        part = [a[s0 : s0 + vmap_chunk] for a in (keys, flat_y, flat_w)]
+        mm = part[0].shape[0]
+        rem = (-mm) % pad_to
+        if rem:
+            part = [jnp.concatenate([a, jnp.repeat(a[:1], rem, axis=0)]) for a in part]
+        kk, yy, ww = part
+        carry = init_v(kk, yy, ww)
+        for s in segments:
+            carry = step_v[s](carry, yy, ww)
+        outs.append(pred_v(carry, yy, ww)[:mm])
+    return jnp.concatenate(outs, axis=0)
 
 
 @highest_precision
@@ -167,8 +225,25 @@ def run_cv(
     if "n" in algorithms:
         t0 = time.perf_counter()
         keys = jax.random.split(kn, n_resp * k)
-        fit_n = batched_jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)), 3)
-        preds["n"] = chunked(fit_n, keys, flat_y, flat_w)
+        nn_cfg = dict(config.nn)
+        maxit = int(nn_cfg.pop("maxit", 10000))
+        width = min(vmap_chunk, n_resp * k)
+        # bound ONE dispatch's L-BFGS work (width x rows x iters): at
+        # config-3 scale a single 10000-step program holds the chip for
+        # minutes (pool-watchdog territory); segment the loop across
+        # dispatches instead — bit-identical (test_nn_segmented_carry...)
+        seg = (
+            maxit if width * n * maxit <= _NN_DISPATCH_WORK
+            else max(200, int(_NN_DISPATCH_WORK // max(width * n, 1)))
+        )
+        if seg >= maxit:
+            fit_n = batched_jit(jax.vmap(lambda kk, yy, w: _nn_fold(kk, x, yy, w, config.nn)), 3)
+            preds["n"] = chunked(fit_n, keys, flat_y, flat_w)
+        else:
+            preds["n"] = _nn_letter_segmented(
+                keys, flat_y, flat_w, x, nn_cfg, maxit, seg, batched_jit,
+                vmap_chunk, pad_to,
+            )
         _letter_done("n", t0)
     if "m" in algorithms:
         t0 = time.perf_counter()

@@ -108,6 +108,78 @@ def fit(
 
 
 @highest_precision
+def fit_carry_init(key, x, y, *, sample_weight=None, hidden: int = 10,
+                   init_range: float = 0.7):
+    """Initial carry for SEGMENTED fitting: (params, opt_state, x_mean,
+    x_scale).  Segmenting exists so one device program never holds the
+    whole ``maxit`` loop — at config-3 scale (10k rows x 64-wide vmap x
+    10000 L-BFGS steps) the single-dispatch form runs minutes on-device
+    and risks the pool watchdog; run_cv advances the carry in bounded
+    ``fit_carry_steps`` dispatches instead.  The step sequence is
+    IDENTICAL to ``fit``'s scan, so segmented == single-dispatch."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    x_mean = jnp.sum(x * w[:, None], axis=0) / wsum
+    xc = x - x_mean
+    x_scale = jnp.sqrt(jnp.sum(w[:, None] * xc * xc, axis=0) / wsum)
+    x_scale = jnp.where(x_scale > 0, x_scale, 1.0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = (
+        jax.random.uniform(k1, (p, hidden), x.dtype, -init_range, init_range),
+        jax.random.uniform(k2, (hidden,), x.dtype, -init_range, init_range),
+        jax.random.uniform(k3, (hidden,), x.dtype, -init_range, init_range),
+        jax.random.uniform(k4, (), x.dtype, -init_range, init_range),
+    )
+    opt = optax.lbfgs(memory_size=20)
+    return params, opt.init(params), x_mean, x_scale
+
+
+@highest_precision
+def fit_carry_steps(carry, x, y, *, sample_weight=None, steps: int,
+                    decay: float = 0.0):
+    """Advance the L-BFGS loop ``steps`` iterations (jit/vmap-able).  Same
+    update sequence as ``fit``; the standardisation is recomputed from the
+    carried moments (cheap) so only the small carry crosses dispatches."""
+    params, state, x_mean, x_scale = carry
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n, p = x.shape
+    w = as_weight(sample_weight, n, x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    xs = (x - x_mean) / x_scale
+
+    def loss_fn(params):
+        pred = _forward(params, xs)
+        mse = jnp.sum(w * (pred - y) ** 2) / wsum
+        l2 = sum(jnp.sum(q * q) for q in params[:3]) + params[3] ** 2
+        return mse + decay * l2
+
+    opt = optax.lbfgs(memory_size=20)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(
+            grad, state, params, value=value, grad=grad, value_fn=loss_fn
+        )
+        params = optax.apply_updates(params, updates)
+        return (params, state), None
+
+    (params, state), _ = jax.lax.scan(step, (params, state), None, length=steps)
+    return params, state, x_mean, x_scale
+
+
+def carry_to_state(carry) -> NNState:
+    params, _, x_mean, x_scale = carry
+    w1, b1, w2, b2 = params
+    return NNState(w1=w1, b1=b1, w2=w2, b2=b2, x_mean=x_mean, x_scale=x_scale)
+
+
+@highest_precision
 def predict(state: NNState, x) -> jax.Array:
     xs = (jnp.asarray(x) - state.x_mean) / state.x_scale
     return _forward((state.w1, state.b1, state.w2, state.b2), xs)

@@ -177,22 +177,54 @@ def _prepare_inputs(int_values, covar_ras: Raster):
         log.warning("first two columns expected to be long, lat; got %s", names[:2])
     resp_names = names[2:]
 
-    rast_stack = stack([covar_ras, lonlat_rasters(covar_ras.grid, covar_ras.data.dtype)])
-    # extraction runs under ONE jit: the round-4 eager caution (a >60 min
-    # stall once coincided with a jit attempt, but reproduced after the
-    # revert — pool-side) was finally A/B'd on a calm round-5 pool:
-    # jit 25.7 ms vs eager 38.6 ms warm, and one dispatch instead of ~8
-    # tunnel round trips cold (artifacts/round5, input_prep A/B).
-    # The raster DATA is a jit argument, not a closure: a closed-over
-    # array bakes into the program as a constant, and at config-4 scale
-    # (1e8-cell stack) the remote-compile upload exceeds the axon
-    # tunnel's request cap (HTTP 413, round-5 config4_pipeline).
-    grid_, names_ = rast_stack.grid, rast_stack.names
-    vals = np.asarray(
-        jax.jit(
-            lambda data, lo, la: extract(Raster(data, grid_, names_), lo, la)
-        )(rast_stack.data, cols[:, 0], cols[:, 1])
-    )                                                        # (n, C+2)
+    if isinstance(covar_ras.data, np.ndarray):
+        # HOST covariates (large-landscape workflows build them with
+        # Raster.host): the station extraction is a tiny one-time gather —
+        # numpy does it in microseconds, while routing it through the
+        # device costs uploading the whole stack over the axon tunnel plus
+        # a TPU gather compile (~20 min at config-3's 16 Mcell stack,
+        # round 5).  The LONG/LAT bands stay numpy too; predict_over_stack
+        # device_puts row blocks as it streams, so nothing else changes.
+        g = covar_ras.grid
+        xs_c = g.xmin + (np.arange(g.ncols, dtype=np.float64) + 0.5) * g.dx
+        ys_c = g.ymax - (np.arange(g.nrows, dtype=np.float64) + 0.5) * g.dy
+        cdat = covar_ras.data if covar_ras.data.ndim == 3 else covar_ras.data[None]
+        dt = cdat.dtype
+        stack_np = np.concatenate([
+            cdat,
+            np.broadcast_to(xs_c.astype(dt)[None, None, :], (1,) + g.shape),
+            np.broadcast_to(ys_c.astype(dt)[:, None][None], (1,) + g.shape),
+        ])
+        rast_stack = Raster(
+            stack_np, g, tuple(covar_ras.names) + ("LONG", "LAT")
+        )
+        # cell-center semantics identical to grid.extract (V73:145)
+        col = np.floor((cols[:, 0] - g.xmin) / g.dx).astype(np.int64)
+        row = np.floor((g.ymax - cols[:, 1]) / g.dy).astype(np.int64)
+        inside = (row >= 0) & (row < g.nrows) & (col >= 0) & (col < g.ncols)
+        rs = np.clip(row, 0, g.nrows - 1)
+        cs = np.clip(col, 0, g.ncols - 1)
+        vals = stack_np[:, rs, cs].T.astype(np.float64)      # (n, C+2)
+        vals[~inside] = np.nan
+    else:
+        rast_stack = stack(
+            [covar_ras, lonlat_rasters(covar_ras.grid, covar_ras.data.dtype)]
+        )
+        # extraction runs under ONE jit: the round-4 eager caution (a >60
+        # min stall once coincided with a jit attempt, but reproduced after
+        # the revert — pool-side) was finally A/B'd on a calm round-5 pool:
+        # jit 25.7 ms vs eager 38.6 ms warm, and one dispatch instead of ~8
+        # tunnel round trips cold (artifacts/round5, input_prep A/B).
+        # The raster DATA is a jit argument, not a closure: a closed-over
+        # array bakes into the program as a constant, and at config-4 scale
+        # (1e8-cell stack) the remote-compile upload exceeds the axon
+        # tunnel's request cap (HTTP 413, round-5 config4_pipeline).
+        grid_, names_ = rast_stack.grid, rast_stack.names
+        vals = np.asarray(
+            jax.jit(
+                lambda data, lo, la: extract(Raster(data, grid_, names_), lo, la)
+            )(rast_stack.data, cols[:, 0], cols[:, 1])
+        )                                                    # (n, C+2)
     full = np.concatenate([cols, vals], axis=1)
     keep = np.all(np.isfinite(full), axis=1)
     if keep.mean() < 0.75:
@@ -317,8 +349,37 @@ def _fit_final_batched(letter, keys, x, ycols, names, config: MLTPSConfig):
         y_min = jnp.min(ycols, axis=0)
         y_max = jnp.maximum(jnp.max(ycols - y_min[None, :], axis=0), 1e-30)
         yn = (ycols - y_min[None, :]) / y_max[None, :]
-        fit = jax.jit(jax.vmap(lambda kk, yy: nn.fit(kk, x, yy, **config.final_nn)))
-        states = fit(keys, yn.T)
+        nn_cfg = dict(config.final_nn)
+        maxit = int(nn_cfg.pop("maxit", 10000))
+        from ..ensemble.cv import _NN_DISPATCH_WORK
+
+        n_rows = int(np.asarray(x).shape[0])
+        if n_resp * n_rows * maxit <= _NN_DISPATCH_WORK:
+            fit = jax.jit(jax.vmap(
+                lambda kk, yy: nn.fit(kk, x, yy, maxit=maxit, **nn_cfg)
+            ))
+            states = fit(keys, yn.T)
+        else:
+            # bounded-duration dispatches (the CV letter's segmented
+            # driver, same bit-identical step sequence)
+            seg = max(200, int(_NN_DISPATCH_WORK // max(n_resp * n_rows, 1)))
+            init_kw = {k_: v for k_, v in nn_cfg.items() if k_ in ("hidden", "init_range")}
+            decay = float(nn_cfg.get("decay", 0.0))
+            init_v = jax.jit(jax.vmap(
+                lambda kk, yy: nn.fit_carry_init(kk, x, yy, **init_kw)
+            ))
+            carry = init_v(keys, yn.T)
+            segments = [seg] * (maxit // seg) + ([maxit % seg] if maxit % seg else [])
+            step_cache = {}
+            for s_ in segments:
+                if s_ not in step_cache:
+                    step_cache[s_] = jax.jit(jax.vmap(
+                        lambda c, yy, s=s_: nn.fit_carry_steps(
+                            c, x, yy, steps=s, decay=decay
+                        )
+                    ))
+                carry = step_cache[s_](carry, yn.T)
+            states = jax.vmap(nn.carry_to_state)(carry)
         fn = (
             lambda q: jax.vmap(lambda s: nn.predict(s, q))(states).T
             * y_max[None, :] + y_min[None, :]

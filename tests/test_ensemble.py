@@ -188,3 +188,19 @@ def test_run_cv_inverted_split_over_4000_rows(rng):
     # each of the 4 folds tests on the other 3 folds' rows
     assert out["g"].shape == (3 * n,)
     assert np.isfinite(out["g"]).all()
+
+
+def test_run_cv_nn_segmented_matches_single_dispatch(rng, monkeypatch):
+    """Round 5: the NN letter's segmented L-BFGS driver (bounded device
+    programs, the config-3 watchdog guard) must reproduce the
+    single-dispatch path bit-for-bit."""
+    from machisplin_tpu.ensemble import cv as cv_mod
+
+    n, k = 120, 3
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0]) + 0.1 * rng.standard_normal(n))
+    cfg = CVConfig(n_folds=k, nn=dict(hidden=4, maxit=90))
+    a = run_cv(jax.random.PRNGKey(4), x, y, config=cfg, algorithms="n")
+    monkeypatch.setattr(cv_mod, "_NN_DISPATCH_WORK", 1)
+    b = run_cv(jax.random.PRNGKey(4), x, y, config=cfg, algorithms="n")
+    np.testing.assert_array_equal(a["n"], b["n"])

@@ -58,6 +58,25 @@ def test_nn_learns_nonlinear(rng):
     assert all(v >= 0 for v in imp.values())
 
 
+def test_nn_segmented_carry_matches_fit(rng):
+    """Round 5: fit_carry_init + K x fit_carry_steps must replay fit's
+    exact L-BFGS sequence — segmented dispatches (the config-3 watchdog
+    guard) are a pure execution-layout change."""
+    x, y = make_data(rng, n=120)
+    whole = nn.fit(jax.random.PRNGKey(3), x, y, maxit=120)
+    carry = nn.fit_carry_init(jax.random.PRNGKey(3), x, y)
+    for _ in range(4):
+        carry = nn.fit_carry_steps(carry, x, y, steps=30)
+    seg = nn.carry_to_state(carry)
+    np.testing.assert_allclose(
+        np.asarray(seg.w1), np.asarray(whole.w1), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(nn.predict(seg, x)), np.asarray(nn.predict(whole, x)),
+        rtol=0, atol=1e-5,
+    )
+
+
 def test_mars_recovers_hinges(rng):
     x, _ = make_data(rng)
     xa = np.asarray(x)

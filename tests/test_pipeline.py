@@ -327,6 +327,39 @@ def test_mltps_batched_rf_finals_over_mesh(rng):
         )
 
 
+def test_mltps_nn_final_segmented_matches(rng, monkeypatch):
+    """Round 5: the batched NN final fit's segmented L-BFGS driver
+    (bounded device programs) reproduces the single-dispatch fit."""
+    from machisplin_tpu.ensemble import cv as cv_mod
+
+    g, stack, dat, resp = make_world(rng, nrows=30, ncols=28, n=150, two_layers=True)
+    pool = dataclasses.replace(FAST, letters_pool="n")
+    out_a = mt.mltps(dat, stack, tps=False, config=pool)
+    monkeypatch.setattr(cv_mod, "_NN_DISPATCH_WORK", 1)
+    out_b = mt.mltps(dat, stack, tps=False, config=pool)
+    for ra, rb in zip(out_a, out_b):
+        np.testing.assert_allclose(
+            np.asarray(ra.final.data), np.asarray(rb.final.data),
+            rtol=0, atol=1e-5,
+        )
+
+
+def test_mltps_host_covariates_match_device_path(rng):
+    """Round 5: numpy-backed covariate stacks take a pure-host extraction
+    fast path (no device upload of the full stack at input_prep — at
+    config-3 scale the tunnel round trip cost ~20 min).  Same cell-center
+    semantics, same results."""
+    g, stack, dat, resp = make_world(rng, nrows=30, ncols=28, n=140)
+    host_stack = mt.Raster(np.asarray(stack.data), g, stack.names)
+    out_d = mt.mltps(dat, stack, tps=False, config=FAST)
+    out_h = mt.mltps(dat, host_stack, tps=False, config=FAST)
+    assert out_h[0].summary["best model(s):"] == out_d[0].summary["best model(s):"]
+    np.testing.assert_allclose(
+        np.asarray(out_h[0].final.data), np.asarray(out_d[0].final.data),
+        rtol=0, atol=1e-5,
+    )
+
+
 def test_mltps_writers_integration(tmp_path, rng):
     g, stack, dat, _ = make_world(rng, n=120)
     out = mt.mltps(dat, stack, tps=False, config=FAST)
