@@ -57,6 +57,8 @@ def fit(
     edges=None,
     xb=None,
     family: str = "gaussian",
+    offset=None,
+    var_monotone=None,
 ) -> BRTState:
     """Train a BRT.  ``n_trees`` is the static budget; if ``n_trees_active``
     (traced scalar) is given, later trees still train but contribute nothing
@@ -66,6 +68,15 @@ def fit(
     argument, V73:1773).  Trees are least-squares fits to the negative
     gradient with family-correct terminal-node re-estimation
     (models/families.py); deviance curves are on the response scale.
+
+    ``offset``: (n,) fixed per-row term on the link scale (gbm's offset,
+    V73:1664/1774) — the boosted score carries it throughout training
+    (``train_fit`` and the deviance paths include it) but ``predict`` does
+    NOT add it, matching ``predict.gbm`` (the reference adds the offset by
+    hand at its call sites, V73:1845-1846/2041).
+
+    ``var_monotone``: (p,) in {-1, 0, +1} — gbm's monotone-response
+    constraint per predictor (V73:1670/1772); see trees._best_splits.
     """
     from .deviance import calc_deviance
     from .families import f0_init, gradient, leaf_adjust, response
@@ -81,7 +92,11 @@ def fit(
     # one bf16 one-hot shared by every tree in the chain (trees.flat_bin_onehot)
     b1h = flat_bin_onehot(xb, int(edges.shape[1]) + 1)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
-    f0 = f0_init(y, w, family)
+    if offset is not None:
+        offset = jnp.asarray(offset, x.dtype)
+    if var_monotone is not None:
+        var_monotone = jnp.asarray(var_monotone, x.dtype)
+    f0 = f0_init(y, w, family, offset=offset)
     if n_trees_active is None:
         n_trees_active = jnp.asarray(n_trees)
     active = (jnp.arange(n_trees) < n_trees_active).astype(x.dtype)
@@ -97,7 +112,7 @@ def fit(
         z = gradient(y, f, family)
         tree, cur = grow_bestfirst_tree(
             xb, edges, z, bag, n_splits=n_splits, min_leaf=min_leaf,
-            return_assign=True, bin1h=b1h,
+            return_assign=True, bin1h=b1h, monotone=var_monotone,
         )
         if family != "gaussian":
             tree = tree._replace(
@@ -115,7 +130,7 @@ def fit(
         return f, (tree, train_dev, hold_dev)
 
     keys = jax.random.split(key, n_trees)
-    f_init = jnp.full((n,), f0)
+    f_init = jnp.full((n,), f0) if offset is None else f0 + offset
     f_fin, (trees, train_dev, hold_dev) = jax.lax.scan(step, f_init, (keys, active))
     return BRTState(
         trees=trees, edges=edges, f0=f0, lr=jnp.asarray(lr, x.dtype),

@@ -55,20 +55,45 @@ def _masked_median(vals, active):
     return jnp.where(cnt > 0, med, 0.0)
 
 
-def f0_init(y, w, family: str):
-    """Intercept-only fit on the link scale (gbm's initF)."""
+def f0_init(y, w, family: str, offset=None):
+    """Intercept-only fit on the link scale (gbm's initF).
+
+    ``offset`` (gbm's per-row fixed term on the link scale, V73:1664/1774):
+    the intercept solves the weighted score equation GIVEN the offset —
+    mean/median of ``y - offset`` for gaussian/laplace, the log-ratio
+    ``log(Σwy / Σw·exp(offset))`` for poisson, and a Newton solve of
+    ``Σw(y − σ(f0+offset)) = 0`` for bernoulli (gbm's C++ initF forms).
+    """
     family = _check(family)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     ybar = jnp.sum(w * y) / wsum
+    if offset is None:
+        if family == "gaussian":
+            return ybar
+        if family == "laplace":
+            return _masked_median(y, w)
+        if family == "poisson":
+            return jnp.log(jnp.maximum(ybar, _EPS))
+        # bernoulli: logit of the weighted prevalence
+        p = jnp.clip(ybar, _EPS, 1 - _EPS)
+        return jnp.log(p / (1 - p))
     if family == "gaussian":
-        return ybar
+        return jnp.sum(w * (y - offset)) / wsum
     if family == "laplace":
-        return _masked_median(y, w)
+        return _masked_median(y - offset, w)
     if family == "poisson":
-        return jnp.log(jnp.maximum(ybar, _EPS))
-    # bernoulli: logit of the weighted prevalence
-    p = jnp.clip(ybar, _EPS, 1 - _EPS)
-    return jnp.log(p / (1 - p))
+        num = jnp.maximum(jnp.sum(w * y), _EPS)
+        den = jnp.maximum(jnp.sum(w * jnp.exp(offset)), _EPS)
+        return jnp.log(num / den)
+    # bernoulli: Newton iterations (statically unrolled, jittable)
+    p0 = jnp.clip(ybar, _EPS, 1 - _EPS)
+    f0 = jnp.log(p0 / (1 - p0))
+    for _ in range(25):
+        p = 1.0 / (1.0 + jnp.exp(-(f0 + offset)))
+        num = jnp.sum(w * (y - p))
+        den = jnp.maximum(jnp.sum(w * p * (1.0 - p)), _EPS)
+        f0 = f0 + num / den
+    return f0
 
 
 def gradient(y, f, family: str):

@@ -155,6 +155,7 @@ def _make_selector(key, y, w, n_folds, *, family="gaussian", prev_stratify=True)
 def _cv_deviance_curve(
     key, x, y, w, selector, *, n_folds, n_splits, lr, bag_fraction, min_leaf,
     step_size, max_trees, tolerance, n_bins, family="gaussian",
+    offset=None, monotone=None,
 ):
     """Fold-vmapped CV deviance curve under one ``lax.while_loop``.
 
@@ -172,7 +173,7 @@ def _cv_deviance_curve(
     from .trees import flat_bin_onehot
 
     b1h_k = jax.vmap(lambda q: flat_bin_onehot(q, n_bins))(xb_k)  # shared per fold
-    f0 = jax.vmap(lambda wk: f0_init(y, wk, family))(train_w)                # (k,)
+    f0 = jax.vmap(lambda wk: f0_init(y, wk, family, offset=offset))(train_w)  # (k,)
 
     max_cp = max_trees // step_size
     n_total = 2 * n_splits + 1
@@ -187,7 +188,7 @@ def _cv_deviance_curve(
                 tree, cur = grow_bestfirst_tree(
                     xb_f, edges_f, z, bag,
                     n_splits=n_splits, min_leaf=min_leaf, return_assign=True,
-                    bin1h=b1h_f,
+                    bin1h=b1h_f, monotone=monotone,
                 )
                 if family != "gaussian":
                     tree = tree._replace(
@@ -248,6 +249,8 @@ def _cv_deviance_curve(
         return j + 1, f, dev, tdev, fhist, key_j
 
     f_init = jnp.broadcast_to(f0[:, None], (n_folds, n)).astype(x.dtype)
+    if offset is not None:
+        f_init = f_init + offset[None, :].astype(x.dtype)
     dev_init = jnp.full((max_cp, n_folds), jnp.inf, x.dtype)
     tdev_init = jnp.full((max_cp, n_folds), jnp.inf, x.dtype)
     fhist_init = jnp.zeros((max_cp, n_folds, n), x.dtype)
@@ -1189,11 +1192,42 @@ def fit(
     family: str = "gaussian",
     prev_stratify: bool = True,
     max_restarts: int = 3,
+    offset=None,
+    fold_vector=None,
+    var_monotone=None,
 ) -> GBMStepResult:
+    """gbm.step-faithful CV-selected BRT fit (see module docstring).
+
+    The three low-traffic reference arguments (mltps itself never passes
+    them, V73:247/493, but gbm.step exposes them):
+
+    * ``offset`` — (n,) fixed per-row link-scale term (V73:1664/1774): CV
+      fold fits, deviance curves, CV/self statistics, and the final model's
+      ``fitted``/``residuals`` all include it; ``predict`` does NOT add it,
+      matching ``predict.gbm`` (the reference adds it by hand at its call
+      sites, V73:1845-1846/2041).  The intercept-only total deviance stays
+      offset-free, as in the reference (V73:1786-1796).
+    * ``fold_vector`` — (n,) user-supplied CV fold membership
+      (V73:1665/1752-1756); accepts R's 1..n_folds or 0-based labels, and
+      raises the reference's wrong-length error.
+    * ``var_monotone`` — (p,) in {-1, 0, +1} per predictor (V73:1670/1772):
+      every candidate split on a constrained predictor must move the
+      working-response mean in the allowed direction (trees._best_splits).
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
     w = as_weight(sample_weight, n, x.dtype)
+    if offset is not None:
+        offset = jnp.asarray(offset, x.dtype)
+        if offset.shape != (n,):
+            raise ValueError(f"offset must have shape ({n},), got {offset.shape}")
+    if var_monotone is not None:
+        var_monotone = jnp.asarray(var_monotone, x.dtype)
+        if var_monotone.shape != (x.shape[1],):
+            raise ValueError(
+                f"var_monotone must have shape ({x.shape[1]},), got {var_monotone.shape}"
+            )
     n_active = float(np.maximum(np.asarray(jnp.sum(w > 0)), 1))
     # total deviance of the intercept-only model (V73:1786-1796)
     u0 = response(jnp.full((n,), f0_init(y, w, family)), family)
@@ -1203,9 +1237,22 @@ def fit(
         tolerance = 0.001 * mean_total_deviance  # tolerance.method "auto"
 
     ksel, kcv, kfinal = jax.random.split(jax.random.fold_in(key, 7), 3)
-    selector_np = _make_selector(
-        ksel, y, w, n_folds, family=family, prev_stratify=prev_stratify
-    )
+    if fold_vector is not None:
+        fold_vector = np.asarray(fold_vector)
+        if fold_vector.shape != (n,):
+            # the reference's exact complaint (V73:1752-1753)
+            raise ValueError("supplied fold vector is of wrong length")
+        selector_np = fold_vector.astype(np.int32)
+        if selector_np.min() >= 1 and selector_np.max() == n_folds:
+            selector_np = selector_np - 1       # R's 1..n_folds labels
+        if selector_np.min() < 0 or selector_np.max() >= n_folds:
+            raise ValueError(
+                f"fold_vector labels must lie in 1..{n_folds} (R) or 0..{n_folds - 1}"
+            )
+    else:
+        selector_np = _make_selector(
+            ksel, y, w, n_folds, family=family, prev_stratify=prev_stratify
+        )
     selector = jnp.asarray(selector_np)
 
     # --- CV curve with the reference's restart rule (V73:1948-1955): if
@@ -1221,7 +1268,7 @@ def fit(
                 n_folds=n_folds, n_splits=tree_complexity, lr=lr_used,
                 bag_fraction=bag_fraction, min_leaf=min_leaf, step_size=step_size,
                 max_trees=max_trees, tolerance=tolerance, n_bins=n_bins,
-                family=family,
+                family=family, offset=offset, monotone=var_monotone,
             )
         )
         j, dev, tdev, fhist = curve_fn(jax.random.fold_in(kcv, restarts))
@@ -1260,6 +1307,7 @@ def fit(
         n_trees=budget, n_splits=tree_complexity, lr=lr_used,
         bag_fraction=bag_fraction, min_leaf=min_leaf, n_bins=n_bins,
         n_trees_active=best_trees, family=family,
+        offset=offset, var_monotone=var_monotone,
     )
 
     # --- self statistics of the final model (V73:2115-2152, 2190-2192)

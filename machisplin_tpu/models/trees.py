@@ -151,11 +151,17 @@ def _node_histograms(cur, n_nodes, bin1h_flat, nb, w, wy):
     return h[:n_nodes].reshape(n_nodes, p, nb), h[n_nodes:].reshape(n_nodes, p, nb)
 
 
-def _best_splits(hw, hwy, min_leaf, feat_mask=None):
+def _best_splits(hw, hwy, min_leaf, feat_mask=None, monotone=None):
     """Best (feature, bin) per node from cumulative histogram stats.
 
     Returns (gain, feat, bin) each (n_nodes,).  Gain is the SSE decrease
     sum_L(wy)^2/sum_L(w) + sum_R(wy)^2/sum_R(w) - tot(wy)^2/tot(w).
+
+    ``monotone`` (p,) in {-1, 0, +1}: gbm's var.monotone constraint
+    (V73:1670/1772) — a candidate split on feature f with monotone[f]=+1
+    is admissible only if the right child's mean working response is >=
+    the left child's (and the reverse for -1); violating candidates score
+    -inf, exactly gbm's C++ grower's check at split-evaluation time.
     """
     eps = 1e-12
     # one stacked cumsum (launch-latency-bound loop; see _node_histograms)
@@ -174,6 +180,11 @@ def _best_splits(hw, hwy, min_leaf, feat_mask=None):
     gain = jnp.where(ok, gain, -jnp.inf)
     if feat_mask is not None:
         gain = jnp.where(feat_mask[:, :, None] > 0, gain, -jnp.inf)
+    if monotone is not None:
+        lmean = lwy / jnp.maximum(lw, eps)
+        rmean = rwy / jnp.maximum(rw, eps)
+        viol = monotone[None, :, None] * (rmean - lmean) < 0
+        gain = jnp.where(viol, -jnp.inf, gain)
     n_nodes, p, nbm1 = gain.shape
     flat = gain.reshape(n_nodes, p * nbm1)
     best = jnp.argmax(flat, axis=1)
@@ -328,7 +339,7 @@ def grow_level_tree(
 
 def grow_bestfirst_tree(
     xb, edges, y, w, *, n_splits: int, min_leaf: float = 10.0,
-    return_assign: bool = False, bin1h=None,
+    return_assign: bool = False, bin1h=None, monotone=None,
 ):
     """gbm-style tree: exactly ``n_splits`` best-first splits (J+1 leaves).
 
@@ -355,7 +366,9 @@ def grow_bestfirst_tree(
     training rows with one dense one-hot matvec instead of re-routing
     through ``tree_predict``'s gather walk.  Pass ``bin1h``
     (``flat_bin_onehot(xb, nb)``) to share the one-hot across the trees of
-    a boosting chain instead of rebuilding it per tree.
+    a boosting chain instead of rebuilding it per tree.  ``monotone``
+    ((p,) in {-1, 0, +1}) applies gbm's var.monotone admissibility check to
+    every candidate split (see ``_best_splits``).
     """
     n, p = xb.shape
     nb = int(edges.shape[1]) + 1
@@ -371,7 +384,9 @@ def grow_bestfirst_tree(
 
     # root statistics + candidate (the only live leaf before step 0)
     root = _hist_matmul(jnp.stack([w, wy]), bin1h).reshape(2, p, nb)
-    g0, f0, b0 = _best_splits(root[0][None], root[1][None], min_leaf)
+    g0, f0, b0 = _best_splits(
+        root[0][None], root[1][None], min_leaf, monotone=monotone
+    )
     node_gain = jnp.full((n_total,), neg, dtype).at[0].set(g0[0])
     node_feat = jnp.zeros((n_total,), jnp.int32).at[0].set(f0[0])
     node_bin = jnp.zeros((n_total,), jnp.int32).at[0].set(b0[0])
@@ -412,7 +427,7 @@ def grow_bestfirst_tree(
         ).reshape(4, p, nb)
         cw = jnp.stack([h4[0], h4[2] - h4[0]])  # (2, p, nb) child w sums
         cwy = jnp.stack([h4[1], h4[3] - h4[1]])
-        cg, cf, cb = _best_splits(cw, cwy, min_leaf)
+        cg, cf, cb = _best_splits(cw, cwy, min_leaf, monotone=monotone)
         node_gain = jnp.where(qsel, neg, node_gain)  # parent is now internal
         node_gain = node_gain.at[lid].set(jnp.where(ok, cg[0], neg))
         node_gain = node_gain.at[rid].set(jnp.where(ok, cg[1], neg))

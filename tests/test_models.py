@@ -891,3 +891,125 @@ def test_mars_degree1_unchanged_by_degree_arg(rng):
     np.testing.assert_array_equal(np.asarray(a.vars), np.asarray(b.vars))
     np.testing.assert_array_equal(np.asarray(a.knots), np.asarray(b.knots))
     np.testing.assert_array_equal(np.asarray(a.coef), np.asarray(b.coef))
+
+
+# --- gbm.step's low-traffic reference arguments (V73:1664-1670): offset,
+# fold.vector, var.monotone — mltps never passes them (V73:247/493) but
+# gbm.step exposes them; VERDICT r4 Missing #4.
+
+
+def test_gbm_step_fold_vector(rng):
+    """A user-supplied fold vector is honored verbatim (V73:1752-1756),
+    in both R's 1-based and 0-based labelings; the reference's
+    wrong-length error is raised."""
+    x, y = make_data(rng, n=200)
+    folds_r = (np.arange(200) % 5 + 1).astype(np.int32)   # R's 1..k labels
+    kw = dict(tree_complexity=3, learning_rate=0.05, step_size=25,
+              max_trees=200, n_folds=5)
+    res = gbm_step.fit(jax.random.PRNGKey(3), x, y, fold_vector=folds_r, **kw)
+    np.testing.assert_array_equal(res.selector, folds_r - 1)
+    res0 = gbm_step.fit(jax.random.PRNGKey(3), x, y, fold_vector=folds_r - 1, **kw)
+    np.testing.assert_array_equal(res0.selector, folds_r - 1)
+    assert res0.best_trees == res.best_trees
+    with pytest.raises(ValueError, match="wrong length"):
+        gbm_step.fit(jax.random.PRNGKey(3), x, y, fold_vector=folds_r[:-1], **kw)
+    with pytest.raises(ValueError, match="labels"):
+        gbm_step.fit(
+            jax.random.PRNGKey(3), x, y, fold_vector=folds_r + 5, **kw
+        )
+
+
+def test_gbm_step_offset_gaussian_equivalence(rng):
+    """For gaussian, boosting y with a link-scale offset is EXACTLY boosting
+    y - offset without one (same gradients, same trees under the same keys):
+    best.trees match, fitted values differ by the offset, residuals match.
+    Tolerance is pinned so the auto rule (0.001 x total deviance, which is
+    offset-free by design, V73:1786-1796) can't decouple the two stoppings."""
+    x, y = make_data(rng, n=250)
+    off = jnp.asarray(0.5 * np.asarray(x)[:, 0] - 1.0)
+    kw = dict(tree_complexity=3, learning_rate=0.05, step_size=25,
+              max_trees=400, n_folds=5, tolerance=1e-4)
+    key = jax.random.PRNGKey(11)
+    res_off = gbm_step.fit(key, x, y, offset=off, **kw)
+    res_shift = gbm_step.fit(key, x, y - off, **kw)
+    assert res_off.best_trees == res_shift.best_trees
+    np.testing.assert_allclose(
+        res_off.fitted, np.asarray(res_shift.fitted) + np.asarray(off),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        res_off.residuals, res_shift.residuals, rtol=1e-5, atol=1e-5
+    )
+    # predict (like predict.gbm) excludes the offset: adding it by hand —
+    # the reference's own idiom (V73:1845-1846) — recovers the fitted values
+    np.testing.assert_allclose(
+        np.asarray(gbm_step.predict(res_off, x)) + np.asarray(off),
+        res_off.fitted, rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_gbm_step_offset_f0_score_equations(rng):
+    """f0_init with an offset solves each family's intercept score equation
+    (gbm's C++ initF forms)."""
+    from machisplin_tpu.models.families import f0_init
+
+    n = 300
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    off = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+    yg = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    f0 = f0_init(yg, w, "gaussian", offset=off)
+    assert abs(float(jnp.sum(w * (yg - (f0 + off))))) < 1e-3
+    yp = jnp.asarray(rng.poisson(2.0, n).astype(np.float32))
+    f0 = f0_init(yp, w, "poisson", offset=off)
+    assert abs(float(jnp.sum(w * (yp - jnp.exp(f0 + off))))) < 1e-2
+    yb = jnp.asarray((rng.uniform(size=n) < 0.3).astype(np.float32))
+    f0 = f0_init(yb, w, "bernoulli", offset=off)
+    p = 1.0 / (1.0 + jnp.exp(-(f0 + off)))
+    assert abs(float(jnp.sum(w * (yb - p)))) < 1e-3
+
+
+def test_brt_var_monotone(rng):
+    """var.monotone semantics on a strictly increasing 1-feature response.
+    On the FIRST tree the working response is strictly increasing, so +1
+    masks nothing (identical tree to unconstrained) while -1 masks every
+    candidate (no split anywhere; later trees see a constant gradient too,
+    so the whole model is the constant f0).  Multi-tree +1 fits still learn
+    the surface (masking only prunes candidates)."""
+    n = 200
+    x = jnp.asarray(np.linspace(0, 1, n, dtype=np.float32)[:, None])
+    y = jnp.asarray(np.linspace(0, 2, n, dtype=np.float32))
+    key = jax.random.PRNGKey(4)
+    one = dict(n_trees=1, n_splits=3, lr=0.2, bag_fraction=1.0)
+    up1 = brt.fit(key, x, y, var_monotone=jnp.asarray([1.0]), **one)
+    free1 = brt.fit(key, x, y, **one)
+    np.testing.assert_array_equal(np.asarray(up1.trees.thr), np.asarray(free1.trees.thr))
+    np.testing.assert_allclose(
+        np.asarray(up1.trees.value), np.asarray(free1.trees.value), rtol=1e-6
+    )
+    many = dict(n_trees=30, n_splits=3, lr=0.2, bag_fraction=1.0)
+    up = brt.fit(key, x, y, var_monotone=jnp.asarray([1.0]), **many)
+    assert r2(y, brt.predict(up, x)) > 0.8
+    down = brt.fit(key, x, y, var_monotone=jnp.asarray([-1.0]), **many)
+    assert np.all(np.asarray(down.trees.internal) == 0)   # no admissible split
+    np.testing.assert_allclose(
+        np.asarray(brt.predict(down, x)), float(down.f0), rtol=1e-5
+    )
+
+
+def test_gbm_step_var_monotone_threads_through(rng):
+    """gbm_step.fit with a -1 constraint on the only informative predictor
+    collapses to (near-)constant CV fits — the constraint reaches the CV
+    grower, not just the final refit."""
+    n = 200
+    xr = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    xr[:, 1] = 0.0                                        # dead feature
+    y = jnp.asarray(np.sort(rng.standard_normal(n)).astype(np.float32))
+    x = jnp.asarray(np.stack([np.sort(xr[:, 0]), xr[:, 1]], axis=1))
+    res = gbm_step.fit(
+        jax.random.PRNGKey(9), x, y,
+        var_monotone=jnp.asarray([-1.0, 0.0]),
+        tree_complexity=2, learning_rate=0.1, step_size=25, max_trees=100,
+        n_folds=4, tolerance=1e-6,
+    )
+    spread = float(np.ptp(np.asarray(res.fitted)))
+    assert spread < 0.05 * float(np.ptp(np.asarray(y)))
